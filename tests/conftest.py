@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-virtual-device CPU mesh.
+
+All tests run on the JAX CPU backend with 8 fake devices so that every
+sharding / pjit / shard_map code path executes the same collective program
+it would on an 8-chip TPU slice (SURVEY.md §4).
+
+This must run before jax initializes its backends, hence env mutation at
+import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,55 @@
+import numpy as np
+import pytest
+
+from tpu_reid.retrieval import k_reciprocal_rerank
+from tests.golden import golden_k_reciprocal, golden_cmc_map
+from tpu_reid.retrieval import cmc_map
+import jax.numpy as jnp
+
+
+def _features(rng, num_q, num_g, num_ids=8, dim=12):
+    q_pids = rng.integers(0, num_ids, num_q)
+    g_pids = rng.integers(0, num_ids, num_g)
+    centers = rng.normal(size=(num_ids, dim))
+    qf = centers[q_pids] + 0.4 * rng.normal(size=(num_q, dim))
+    gf = centers[g_pids] + 0.4 * rng.normal(size=(num_g, dim))
+    return qf.astype(np.float32), gf.astype(np.float32), q_pids, g_pids
+
+
+@pytest.mark.parametrize("seed,k1,k2", [(0, 8, 3), (1, 10, 4), (2, 6, 1)])
+def test_rerank_matches_golden(seed, k1, k2):
+    rng = np.random.default_rng(seed)
+    qf, gf, _, _ = _features(rng, num_q=18, num_g=45)
+    want = golden_k_reciprocal(qf, gf, k1=k1, k2=k2, lambda_value=0.3)
+    got = np.asarray(
+        k_reciprocal_rerank(qf, gf, k1=k1, k2=k2, lambda_value=0.3, row_block=16)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_rerank_improves_or_preserves_ranking_shape():
+    rng = np.random.default_rng(5)
+    qf, gf, q_pids, g_pids = _features(rng, num_q=20, num_g=60)
+    dm = np.asarray(k_reciprocal_rerank(qf, gf, k1=8, k2=3, lambda_value=0.3))
+    assert dm.shape == (20, 60)
+    assert np.isfinite(dm).all()
+
+    cams_q = np.zeros(20, np.int32)
+    cams_g = np.ones(60, np.int32)
+    cmc, mean_ap = cmc_map(
+        jnp.asarray(dm),
+        jnp.asarray(q_pids),
+        jnp.asarray(g_pids),
+        jnp.asarray(cams_q),
+        jnp.asarray(cams_g),
+        max_rank=5,
+    )
+    assert 0.0 <= float(mean_ap) <= 1.0
+
+
+def test_rerank_blocks_do_not_change_result():
+    rng = np.random.default_rng(7)
+    qf, gf, _, _ = _features(rng, num_q=12, num_g=30)
+    a = np.asarray(k_reciprocal_rerank(qf, gf, k1=6, k2=2, row_block=8, q_block=4))
+    b = np.asarray(k_reciprocal_rerank(qf, gf, k1=6, k2=2, row_block=64, q_block=64))
+    np.testing.assert_allclose(a, b, atol=1e-5)

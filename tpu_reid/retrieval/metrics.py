@@ -1,0 +1,142 @@
+"""CMC / mAP evaluation (Market-1501 protocol), vectorized for TPU.
+
+The reference computes these metrics with a per-query Python loop on host
+numpy (reference: evaluate.py:29-135). Here the whole protocol — argsort,
+same-pid+same-camera junk filtering, CMC curve, and average precision — is
+expressed as masked cumulative sums over the full (Q, G) rank matrix, so it
+jits to one XLA program and never leaves the device.
+
+Protocol recap (must match the reference exactly):
+  * rank gallery by distance per query,
+  * drop gallery entries sharing BOTH pid and camid with the query,
+  * a query with no remaining positive is excluded from both CMC and mAP,
+  * CMC[r] = fraction of valid queries whose first positive appears within
+    the top-(r+1) *kept* entries,
+  * AP = mean over positives of (precision at that positive's kept-rank).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_reid.retrieval.distance import euclidean_distmat, l2_normalize
+
+
+@functools.partial(jax.jit, static_argnames=("max_rank",))
+def cmc_map(
+    distmat: jax.Array,
+    q_pids: jax.Array,
+    g_pids: jax.Array,
+    q_camids: jax.Array,
+    g_camids: jax.Array,
+    max_rank: int = 50,
+) -> tuple[jax.Array, jax.Array]:
+    """Compute (cmc[max_rank], mAP) on device.
+
+    Vectorized equivalent of the reference loop (evaluate.py:29-88).
+    """
+    num_g = distmat.shape[1]
+    max_rank = min(max_rank, num_g)
+
+    order = jnp.argsort(distmat, axis=1)  # (Q, G)
+    g_pid_sorted = jnp.take(g_pids, order)
+    g_cam_sorted = jnp.take(g_camids, order)
+
+    matches = g_pid_sorted == q_pids[:, None]
+    remove = matches & (g_cam_sorted == q_camids[:, None])
+    keep = ~remove
+
+    # 1-indexed position among kept entries; rank among kept positives.
+    kept_pos = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    good = matches & keep
+    match_rank = jnp.cumsum(good.astype(jnp.int32), axis=1)
+
+    num_rel = jnp.sum(good, axis=1)
+    valid = num_rel > 0
+    num_valid = jnp.sum(valid.astype(jnp.float32))
+
+    # Average precision per query: mean over positives of
+    # (rank among kept positives) / (position among kept).
+    precision = jnp.where(
+        good, match_rank.astype(jnp.float32) / kept_pos.astype(jnp.float32), 0.0
+    )
+    ap = jnp.sum(precision, axis=1) / jnp.maximum(num_rel, 1).astype(jnp.float32)
+    mean_ap = jnp.sum(jnp.where(valid, ap, 0.0)) / jnp.maximum(num_valid, 1.0)
+
+    # CMC: position (among kept) of the first kept positive.
+    big = jnp.iinfo(jnp.int32).max
+    first_pos = jnp.min(jnp.where(good, kept_pos, big), axis=1)  # (Q,)
+    ranks = jnp.arange(1, max_rank + 1)
+    hits = (first_pos[:, None] <= ranks[None, :]) & valid[:, None]
+    cmc = jnp.sum(hits.astype(jnp.float32), axis=0) / jnp.maximum(num_valid, 1.0)
+
+    return cmc, mean_ap
+
+
+class Evaluator:
+    """Feature accumulator + metric computation.
+
+    Plays the role of the reference's R1_mAP_eval (evaluate.py:91-135) but
+    keeps accumulated features as device arrays and runs the whole tail
+    (normalize -> distmat -> CMC/mAP, optionally k-reciprocal re-ranking)
+    on device.
+    """
+
+    def __init__(
+        self,
+        num_query: int,
+        max_rank: int = 50,
+        feat_norm: bool = True,
+        reranking: bool = False,
+        rerank_params: tuple[int, int, float] = (50, 15, 0.3),
+    ):
+        self.num_query = num_query
+        self.max_rank = max_rank
+        self.feat_norm = feat_norm
+        self.reranking = reranking
+        self.rerank_params = rerank_params
+        self.reset()
+
+    def reset(self) -> None:
+        self._feats: list[jax.Array] = []
+        self._pids: list[np.ndarray] = []
+        self._camids: list[np.ndarray] = []
+
+    def update(self, feat: jax.Array, pid, camid) -> None:
+        self._feats.append(jnp.asarray(feat))
+        self._pids.append(np.asarray(pid))
+        self._camids.append(np.asarray(camid))
+
+    def compute(self) -> tuple[np.ndarray, float]:
+        feats = jnp.concatenate(self._feats, axis=0)
+        if self.feat_norm:
+            feats = l2_normalize(feats, axis=1)
+        pids = np.concatenate(self._pids)
+        camids = np.concatenate(self._camids)
+
+        qf, gf = feats[: self.num_query], feats[self.num_query:]
+        q_pids, g_pids = pids[: self.num_query], pids[self.num_query:]
+        q_camids, g_camids = camids[: self.num_query], camids[self.num_query:]
+
+        if self.reranking:
+            from tpu_reid.retrieval.rerank import k_reciprocal_rerank
+
+            k1, k2, lam = self.rerank_params
+            distmat = k_reciprocal_rerank(qf, gf, k1=k1, k2=k2, lambda_value=lam)
+        else:
+            distmat = euclidean_distmat(qf, gf)
+
+        cmc, mean_ap = cmc_map(
+            distmat,
+            jnp.asarray(q_pids),
+            jnp.asarray(g_pids),
+            jnp.asarray(q_camids),
+            jnp.asarray(g_camids),
+            max_rank=self.max_rank,
+        )
+        return np.asarray(cmc), float(mean_ap)

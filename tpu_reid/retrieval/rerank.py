@@ -1,0 +1,177 @@
+"""k-reciprocal re-ranking (CVPR'17, Zhong et al.) as a TPU-native program.
+
+The reference implementation (reference: reranking.py:29-100) runs serial
+Python loops over every row of a dense (Q+G)^2 numpy matrix on host. This
+version reformulates the algorithm with fixed-size padded neighbor sets so
+the whole thing — top-k neighbor search, reciprocal checks, 2/3-overlap
+expansion, sparse-weight construction, query expansion, and the Jaccard
+distance — compiles to one static-shape XLA program and stays in HBM.
+
+Key identities used:
+  * membership tests on padded top-k index lists replace np.where lookups,
+  * the union/unique over expansion indices becomes a scatter-max into a
+    dense row mask (duplicates write the same weight, so dedup is free),
+  * every V row sums to 1 (before and after query expansion), so the
+    Jaccard numerator  sum_k min(V_i, V_j)  never needs an inverted index;
+    it is computed directly as a blockwise min-sum contraction.
+
+Verified against an independent numpy implementation of the published
+algorithm in tests/test_rerank.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpu_reid.retrieval.distance import euclidean_distmat
+
+
+def _pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
+    if n_pad == 0:
+        return x
+    pad = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k1", "k2", "kh", "row_block", "q_block")
+)
+def _rerank_core(
+    qf: jax.Array,
+    gf: jax.Array,
+    lambda_value: jax.Array,
+    *,
+    k1: int,
+    k2: int,
+    kh: int,
+    row_block: int,
+    q_block: int,
+) -> jax.Array:
+    num_q = qf.shape[0]
+    feat = jnp.concatenate([qf, gf], axis=0)
+    n = feat.shape[0]
+    k1p = k1 + 1
+
+    # Original distance, row-normalized by the per-row max. The reference
+    # divides columns by their max and transposes (reranking.py:46); since the
+    # all-pairs matrix is symmetric this is the same thing.
+    dist = euclidean_distmat(feat, feat)
+    od = (dist / jnp.max(dist, axis=0, keepdims=True)).T
+
+    # Top-(k1+1) neighbor lists (self included at rank 0).
+    _, rank_k1 = lax.top_k(-od, k1p)  # (n, k1+1)
+    rank_kh = rank_k1[:, :kh]
+
+    nb = -(-n // row_block)
+    n_pad = nb * row_block
+    rows_padded = jnp.arange(n_pad).reshape(nb, row_block)
+    rank_k1_safe = rank_k1  # all entries < n, safe to gather with
+
+    def v_block(rows):
+        # rows: (B,) global row ids (may exceed n for the tail block).
+        safe_rows = jnp.minimum(rows, n - 1)
+        fwd = rank_k1_safe[safe_rows]  # (B, k1+1)
+        # reciprocal test: i in top-(k1+1) of each forward neighbor
+        back = rank_k1_safe[fwd]  # (B, k1+1, k1+1)
+        recip = jnp.any(back == rows[:, None, None], axis=-1)  # (B, k1+1)
+
+        # half-k reciprocal sets of every candidate c = fwd[b, j]
+        ch_idx = rank_kh[fwd]  # (B, k1+1, kh)
+        ch_back = rank_kh[ch_idx]  # (B, k1+1, kh, kh)
+        recip_h = jnp.any(ch_back == fwd[:, :, None, None], axis=-1)  # (B,k1+1,kh)
+
+        # |R_half(c) ∩ R(i)| > 2/3 |R_half(c)|
+        eq = (
+            (ch_idx[:, :, :, None] == fwd[:, None, None, :])
+            & recip[:, None, None, :]
+        )
+        matched = jnp.any(eq, axis=-1) & recip_h  # (B, k1+1, kh)
+        inter_size = jnp.sum(matched, axis=-1)  # (B, k1+1)
+        rh_size = jnp.sum(recip_h, axis=-1)
+        accept = recip & (3 * inter_size > 2 * rh_size)
+
+        # union(R(i), accepted R_half(c)) as a dense row mask via scatter-max
+        e_idx = jnp.concatenate(
+            [fwd, ch_idx.reshape(ch_idx.shape[0], -1)], axis=1
+        )
+        e_val = jnp.concatenate(
+            [recip, (accept[:, :, None] & recip_h).reshape(recip_h.shape[0], -1)],
+            axis=1,
+        )
+        scat = jnp.where(e_val, e_idx, n)  # invalid -> dummy column
+        b = rows.shape[0]
+        mask = (
+            jnp.zeros((b, n + 1), jnp.float32)
+            .at[jnp.arange(b)[:, None], scat]
+            .max(1.0)[:, :n]
+        )
+
+        od_rows = od[safe_rows]
+        w = jnp.exp(-od_rows) * mask
+        return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+
+    v = lax.map(v_block, rows_padded).reshape(n_pad, n)[:n]
+
+    # Query expansion: mean of the V rows of the k2 nearest neighbors
+    # (reranking.py:73-77).
+    if k2 != 1:
+        rank_k2 = rank_k1[:, :k2]
+
+        def qe_block(rows):
+            safe_rows = jnp.minimum(rows, n - 1)
+            return jnp.mean(v[rank_k2[safe_rows]], axis=1)
+
+        v = lax.map(qe_block, rows_padded).reshape(n_pad, n)[:n]
+
+    # Jaccard distance for query rows. Every V row sums to 1, so
+    # t = sum_k min(V_i, V_j) and jaccard = 1 - t / (2 - t).
+    qb = -(-num_q // q_block)
+    q_rows = jnp.arange(qb * q_block).reshape(qb, q_block)
+
+    def jaccard_block(rows):
+        safe_rows = jnp.minimum(rows, num_q - 1)
+        vq = v[safe_rows]  # (Bq, n)
+        t = jnp.sum(jnp.minimum(vq[:, None, :], v[None, :, :]), axis=-1)
+        return 1.0 - t / (2.0 - t)
+
+    jaccard = lax.map(jaccard_block, q_rows).reshape(qb * q_block, n)[:num_q]
+
+    final = jaccard * (1.0 - lambda_value) + od[:num_q] * lambda_value
+    return final[:, num_q:]
+
+
+def k_reciprocal_rerank(
+    qf,
+    gf,
+    k1: int = 50,
+    k2: int = 15,
+    lambda_value: float = 0.3,
+    row_block: int = 128,
+    q_block: int = 128,
+) -> jax.Array:
+    """Re-ranked (Q, G) distance matrix, computed on device.
+
+    Default parameters follow the reference eval path
+    (reference: evaluate.py:127 — k1=50, k2=15, lambda=0.3).
+    """
+    qf = jnp.asarray(qf, jnp.float32)
+    gf = jnp.asarray(gf, jnp.float32)
+    kh = int(np.around(k1 / 2)) + 1
+    n = qf.shape[0] + gf.shape[0]
+    row_block = min(row_block, n)
+    q_block = min(q_block, qf.shape[0])
+    return _rerank_core(
+        qf,
+        gf,
+        jnp.float32(lambda_value),
+        k1=k1,
+        k2=k2,
+        kh=kh,
+        row_block=row_block,
+        q_block=q_block,
+    )
