@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# A plugin may have imported jax before this conftest ran, in which case the
+# env var above was read too late — force the platform on the live config
+# (safe as long as no backend has been initialized yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+

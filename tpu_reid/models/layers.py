@@ -1,0 +1,196 @@
+"""Functional transformer building blocks (no framework modules).
+
+Params are plain nested dicts of jnp arrays; every function is
+``f(params, x, ...) -> y`` and jit/vmap/scan-friendly. Linear weights are
+stored in JAX (in, out) layout — the torch converters transpose.
+
+Numerical conventions shared with CLIP: LayerNorm statistics in fp32 even
+under bf16 activations (reference keeps fp32 LN inside its fp16 model,
+maple.py:416-422), QuickGELU activation, pre-norm residual blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with fp32 statistics, output cast back to input dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def linear(p: dict, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def mlp(p: dict, x: jax.Array) -> jax.Array:
+    return linear(p["c_proj"], quick_gelu(linear(p["c_fc"], x)))
+
+
+def multi_head_attention(
+    p: dict,
+    x: jax.Array,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Self-attention over (B, S, D) with a fused qkv projection.
+
+    `mask` is additive, shape (S, S) (the CLIP causal text mask) or None.
+    Softmax runs in fp32 for stability under bf16 activations.
+    """
+    b, s, d = x.shape
+    dh = d // n_heads
+    qkv = linear(p["in_proj"], x)  # (B, S, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, n_heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / np.sqrt(dh))
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return linear(p["out_proj"], out)
+
+
+def residual_block(
+    p: dict,
+    x: jax.Array,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Pre-norm transformer block: x + attn(ln1 x); x + mlp(ln2 x)."""
+    x = x + multi_head_attention(p["attn"], layer_norm(p["ln_1"], x), n_heads, mask)
+    x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+    return x
+
+
+def splice_prompt_tokens(
+    x: jax.Array, prompt: jax.Array, text_side: bool
+) -> jax.Array:
+    """Replace the prompt-token positions of a sequence with new tokens.
+
+    The deep-prompting core (reference: maple.py:617-644):
+      * vision: the prompt tokens live at the END — drop the last n_ctx
+        outputs and append this layer's tokens,
+      * text: the prompt tokens sit right after SOS — keep position 0,
+        replace positions 1..n_ctx, keep the suffix.
+    Static shapes: n_ctx comes from `prompt.shape[0]`.
+    """
+    n_ctx = prompt.shape[0]
+    b = x.shape[0]
+    tok = jnp.broadcast_to(prompt.astype(x.dtype), (b, n_ctx, x.shape[-1]))
+    if text_side:
+        return jnp.concatenate([x[:, :1], tok, x[:, 1 + n_ctx:]], axis=1)
+    return jnp.concatenate([x[:, : x.shape[1] - n_ctx], tok], axis=1)
+
+
+def transformer_stack(
+    stacked: dict,
+    x: jax.Array,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+    deep_prompts: Optional[jax.Array] = None,
+    prompt_flags: Optional[jax.Array] = None,
+    text_side: bool = False,
+) -> jax.Array:
+    """Run a stack of residual blocks whose params have a leading layer axis.
+
+    deep_prompts: (L, n_ctx, D) per-layer prompt tokens; prompt_flags: (L,)
+    bool — layer i splices its tokens before the block iff flags[i]
+    (reference gates with `prompts_needed > i` and i>0, maple.py:535-541).
+    Implemented with lax.scan so XLA compiles one block body.
+    """
+
+    def body(h, layer):
+        if deep_prompts is None:
+            p = layer
+        else:
+            p, tok, flag = layer
+            spliced = splice_prompt_tokens(h, tok, text_side)
+            h = jnp.where(flag, spliced, h)
+        h = residual_block(p, h, n_heads, mask)
+        return h, None
+
+    xs = stacked if deep_prompts is None else (stacked, deep_prompts, prompt_flags)
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def slice_layer(stacked: dict, idx) -> dict:
+    """Take one layer's params out of a stacked (leading layer axis) pytree."""
+    return jax.tree.map(lambda a: a[idx], stacked)
+
+
+# ---------------------------------------------------------------------------
+# initializers (match CLIP's scheme, reference: coop.py:340-367)
+# ---------------------------------------------------------------------------
+
+
+def init_layer_norm(width: int) -> dict:
+    return {"scale": jnp.ones((width,), jnp.float32),
+            "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def init_block(key: jax.Array, width: int, layers_total: int) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    proj_std = (width ** -0.5) * ((2 * layers_total) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+    return {
+        "attn": {
+            "in_proj": {
+                "w": attn_std * jax.random.normal(k1, (width, 3 * width)),
+                "b": jnp.zeros((3 * width,)),
+            },
+            "out_proj": {
+                "w": proj_std * jax.random.normal(k2, (width, width)),
+                "b": jnp.zeros((width,)),
+            },
+        },
+        "ln_1": init_layer_norm(width),
+        "mlp": {
+            "c_fc": {
+                "w": fc_std * jax.random.normal(k3, (width, 4 * width)),
+                "b": jnp.zeros((4 * width,)),
+            },
+            "c_proj": {
+                "w": proj_std * jax.random.normal(k4, (4 * width, width)),
+                "b": jnp.zeros((width,)),
+            },
+        },
+        "ln_2": init_layer_norm(width),
+    }
+
+
+def init_stack(key: jax.Array, layers: int, width: int) -> dict:
+    keys = jax.random.split(key, layers)
+    blocks = [init_block(k, width, layers) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def causal_mask(n: int) -> jax.Array:
+    """CLIP's additive causal mask (reference: coop.py:369-375)."""
+    return jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)

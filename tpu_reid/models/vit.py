@@ -1,0 +1,183 @@
+"""CLIP ReID vision transformer — functional, TPU-first.
+
+Capabilities mirrored from the reference (behavior, not code):
+  * overlapping patch embedding: conv stride < patch size
+    (reference: coop.py:190-191 — stride 12 for 16px patches),
+  * rectangular positional embedding of h_grid*w_grid+1 tokens
+    (reference: coop.py:195),
+  * triple-feature output (x11, x12, xproj): the layer-11 sequence, the
+    final LayerNormed sequence, and its projection
+    (reference: coop.py:203-227, maple.py:754-785),
+  * shallow visual prompt tokens appended after the pos-embed, and per-layer
+    deep prompt replacement for IVLP/MaPLe (reference: maple.py:765-767,
+    maple.py:617-644),
+  * JPM (jigsaw patch module) branch: shift+shuffle the patch tokens and
+    re-run a dedicated copy of the last block (reference: jpm.py:6-39).
+
+Layout is batch-first (B, S, D) and images are NHWC — natural for TPU; the
+reference's LND permutes are a torch-ism with no math content.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_reid.configs import VisionConfig
+from tpu_reid.models import layers as L
+
+
+def init_vit(key: jax.Array, cfg: VisionConfig) -> dict:
+    ks = jax.random.split(key, 6)
+    scale = cfg.width ** -0.5
+    n_tok = cfg.h_grid * cfg.w_grid + 1
+    params = {
+        "conv": {
+            # HWIO so lax.conv_general_dilated consumes it directly
+            "w": scale * jax.random.normal(
+                ks[0], (cfg.patch_size, cfg.patch_size, 3, cfg.width)
+            )
+        },
+        "class_embedding": scale * jax.random.normal(ks[1], (cfg.width,)),
+        "positional_embedding": scale * jax.random.normal(ks[2], (n_tok, cfg.width)),
+        "ln_pre": L.init_layer_norm(cfg.width),
+        "blocks": L.init_stack(ks[3], cfg.layers, cfg.width),
+        "ln_post": L.init_layer_norm(cfg.width),
+        "proj": scale * jax.random.normal(ks[4], (cfg.width, cfg.output_dim)),
+    }
+    d = cfg.design
+    if d.has_vision_prompts:
+        params["vpt_shallow"] = 0.02 * jax.random.normal(
+            ks[5], (d.vision_ctx, cfg.width)
+        )
+        if d.vision_depth > 1 and d.trainer in ("IVLP", "VPT"):
+            params["vpt_deep"] = 0.02 * jax.random.normal(
+                jax.random.fold_in(ks[5], 1),
+                (cfg.layers, d.vision_ctx, cfg.width),
+            )
+    return params
+
+
+def _deep_prompt_flags(cfg: VisionConfig) -> jax.Array:
+    """Layer i (>0) splices deep prompts iff i < vision_depth
+    (reference gating `prompts_needed > i`, maple.py:535-541)."""
+    i = jnp.arange(cfg.layers)
+    return (i > 0) & (i < cfg.design.vision_depth)
+
+
+def patch_embed(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array:
+    """(B, H, W, 3) -> (B, h_grid*w_grid, width) overlapping patch tokens."""
+    x = jax.lax.conv_general_dilated(
+        images,
+        params["conv"]["w"].astype(images.dtype),
+        window_strides=(cfg.stride, cfg.stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b = x.shape[0]
+    return x.reshape(b, cfg.h_grid * cfg.w_grid, cfg.width)
+
+
+def apply_vit(
+    params: dict,
+    cfg: VisionConfig,
+    images: jax.Array,
+    deep_prompts: Optional[jax.Array] = None,
+    cv_emb: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Forward pass. Returns (x11, x12, xproj) full sequences; callers take
+    [:, 0] for the CLS features (reference: prompt_learning.py:114).
+
+    deep_prompts overrides params["vpt_deep"] — MaPLe passes externally
+    projected prompts here (reference: maple.py:809-844).
+    """
+    x = patch_embed(params, cfg, images)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(x.dtype), (b, 1, cfg.width)
+    )
+    if cv_emb is not None:
+        cls = cls + cv_emb.astype(x.dtype)[:, None, :]
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(x.dtype)
+
+    if cfg.design.has_vision_prompts:
+        vpt = params["vpt_shallow"].astype(x.dtype)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(vpt, (b,) + vpt.shape)], axis=1
+        )
+
+    x = L.layer_norm(params["ln_pre"], x)
+
+    dp = deep_prompts if deep_prompts is not None else params.get("vpt_deep")
+    flags = _deep_prompt_flags(cfg) if dp is not None else None
+    n_layers = cfg.layers
+
+    # blocks 0..L-2 via scan, final block separately for the x11/x12 split
+    # (reference: maple.py:775-776).
+    head = L.slice_layer(params["blocks"], slice(0, n_layers - 1))
+    tail = L.slice_layer(params["blocks"], n_layers - 1)
+    x11 = L.transformer_stack(
+        head,
+        x,
+        cfg.heads,
+        deep_prompts=None if dp is None else dp[: n_layers - 1],
+        prompt_flags=None if flags is None else flags[: n_layers - 1],
+        text_side=False,
+    )
+    x_last = x11
+    if dp is not None:
+        spliced = L.splice_prompt_tokens(x_last, dp[n_layers - 1], text_side=False)
+        x_last = jnp.where(flags[n_layers - 1], spliced, x_last)
+    x12 = L.residual_block(tail, x_last, cfg.heads)
+
+    x12 = L.layer_norm(params["ln_post"], x12)
+    xproj = jnp.dot(x12, params["proj"].astype(x12.dtype))
+    return x11, x12, xproj
+
+
+# ---------------------------------------------------------------------------
+# JPM — jigsaw patch module (TransReID)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_unit(features: jax.Array, shift: int, group: int) -> jax.Array:
+    """Token shift + grouped shuffle over the patch axis.
+
+    Intended TransReID semantics (reference: jpm.py:6-23). The reference's
+    `begin=1` indexing silently drops patch 0 and its 2D/3D concat crashes if
+    reached; we implement the documented intent: circular shift by `shift`
+    over all patch tokens, then group-transpose. Divergence recorded per
+    SURVEY.md §7 ("reproduce behavior, not bugs").
+    """
+    b, s, d = features.shape
+    x = jnp.roll(features, -shift, axis=1)
+    if group > 1:
+        pad = (-s) % group
+        if pad:
+            x = jnp.concatenate([x, x[:, -pad:]], axis=1)
+        x = x.reshape(b, group, -1, d).transpose(0, 2, 1, 3).reshape(b, -1, d)
+    return x
+
+
+def init_jpm(params_vit: dict, cfg: VisionConfig) -> dict:
+    """JPM owns a copy of the last block + final LN (reference: jpm.py:27-32)."""
+    last = L.slice_layer(params_vit["blocks"], cfg.layers - 1)
+    return {
+        "block": jax.tree.map(jnp.array, last),
+        "ln": jax.tree.map(jnp.array, params_vit["ln_post"]),
+    }
+
+
+def apply_jpm(
+    jpm_params: dict, cfg: VisionConfig, x12_pre_ln: jax.Array,
+    shift: int = 5, group: int = 1,
+) -> jax.Array:
+    """Shuffled-patch branch on the final token sequence (reference: jpm.py:34-39)."""
+    cls = x12_pre_ln[:, :1]
+    patches = shuffle_unit(x12_pre_ln[:, 1:], shift, group)
+    x = jnp.concatenate([cls, patches], axis=1)
+    x = L.residual_block(jpm_params["block"], x, cfg.heads)
+    return L.layer_norm(jpm_params["ln"], x)
