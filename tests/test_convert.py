@@ -1,0 +1,114 @@
+"""Weight converter + tower parity vs an independent torch oracle."""
+
+import numpy as np
+import pytest
+import tests.torch_oracle as oracle
+
+import jax.numpy as jnp
+
+from tpu_reid.configs import PromptDesign
+from tpu_reid.models import text as T
+from tpu_reid.models import vit as V
+from tpu_reid.models.clip_model import resize_pos_embed
+from tpu_reid.weights.convert import convert_clip, merge_pretrained
+
+RNG = np.random.RandomState(0)
+SD = oracle.make_clip_state_dict(RNG)
+
+
+def test_infer_config_vit():
+    cfg, params = convert_clip(SD, image_hw=(32, 32), stride=8)
+    assert cfg.vision.layers == 3
+    assert cfg.vision.width == 64
+    assert cfg.vision.patch_size == 8
+    assert cfg.vision.h_grid == cfg.vision.w_grid == 4
+    assert cfg.text.layers == 2
+    assert cfg.text.vocab_size == 100
+    assert cfg.embed_dim == 24
+    assert params["visual"]["conv"]["w"].shape == (8, 8, 3, 64)
+
+
+def test_vit_parity_square():
+    cfg, params = convert_clip(SD, image_hw=(32, 32), stride=8)
+    images = RNG.randn(2, 32, 32, 3).astype(np.float32)
+    x11, x12, xproj = V.apply_vit(
+        params["visual"], cfg.vision, jnp.asarray(images)
+    )
+    o11, o12, oproj = oracle.vit_forward(
+        SD, images.transpose(0, 3, 1, 2), stride=8, n_layers=3, n_heads=1
+    )
+    np.testing.assert_allclose(np.asarray(x11), o11, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(x12), o12, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(xproj), oproj, atol=2e-4, rtol=1e-3)
+
+
+def test_vit_parity_rect_overlapping_stride():
+    """Rectangular input + overlapping patches: pos-embed resized 4x4 -> 5x2,
+    conv stride 6 < patch 8 (the ReID configuration shape)."""
+    cfg, params = convert_clip(SD, image_hw=(32, 14), stride=6)
+    assert (cfg.vision.h_grid, cfg.vision.w_grid) == (5, 2)
+    images = RNG.randn(2, 32, 14, 3).astype(np.float32)
+    x11, x12, xproj = V.apply_vit(
+        params["visual"], cfg.vision, jnp.asarray(images)
+    )
+    # oracle with the resized pos embed substituted in
+    sd2 = dict(SD)
+    sd2["visual.positional_embedding"] = resize_pos_embed(
+        SD["visual.positional_embedding"], 5, 2
+    )
+    o11, o12, oproj = oracle.vit_forward(
+        sd2, images.transpose(0, 3, 1, 2), stride=6, n_layers=3, n_heads=1
+    )
+    np.testing.assert_allclose(np.asarray(xproj), oproj, atol=2e-4, rtol=1e-3)
+
+
+def test_text_parity():
+    cfg, params = convert_clip(SD, image_hw=(32, 32), stride=8)
+    tokens = np.zeros((3, 16), np.int32)
+    for i in range(3):
+        ln = RNG.randint(3, 15)
+        tokens[i, :ln] = RNG.randint(1, 98, ln)
+        tokens[i, ln] = 99  # EOT = largest id
+    feats = T.encode_text_tokens(params["text"], cfg.text, jnp.asarray(tokens))
+    ofeats = oracle.text_forward(SD, tokens, n_layers=2, n_heads=2)
+    np.testing.assert_allclose(np.asarray(feats), ofeats, atol=2e-4, rtol=1e-3)
+
+
+def test_resize_pos_embed_matches_torch_bicubic():
+    import torch
+    import torch.nn.functional as F
+
+    grid = RNG.randn(1 + 16, 8).astype(np.float32)
+    ours = resize_pos_embed(grid, 7, 3)
+    g = torch.from_numpy(grid[1:].reshape(4, 4, 8)).permute(2, 0, 1)[None]
+    ref = F.interpolate(g, size=(7, 3), mode="bicubic", align_corners=False)
+    ref = ref[0].permute(1, 2, 0).reshape(21, 8).numpy()
+    np.testing.assert_allclose(ours[1:], ref, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(ours[0], grid[0])
+
+
+def test_merge_pretrained_shape_tolerant():
+    base = {"a": np.zeros((2, 2)), "nest": {"b": np.zeros(3), "c": np.zeros(4)}}
+    upd = {"a": np.ones((2, 2)), "nest": {"b": np.ones(5)}}  # b mismatches
+    out = merge_pretrained(base, upd)
+    np.testing.assert_array_equal(out["a"], 1)
+    np.testing.assert_array_equal(out["nest"]["b"], 0)  # skipped
+    np.testing.assert_array_equal(out["nest"]["c"], 0)  # untouched
+
+
+def test_ivlp_vpt_keys_consumed():
+    sd = dict(SD)
+    sd["visual.VPT"] = RNG.randn(2, 64).astype(np.float32)
+    for i in (1, 2):
+        sd[f"visual.transformer.resblocks.{i}.VPT_shallow"] = RNG.randn(
+            2, 64
+        ).astype(np.float32)
+    design = PromptDesign(trainer="IVLP", vision_depth=3, vision_ctx=2,
+                          language_depth=0, language_ctx=0)
+    cfg, params = convert_clip(sd, image_hw=(32, 32), stride=8, design=design)
+    assert params["visual"]["vpt_shallow"].shape == (2, 64)
+    assert params["visual"]["vpt_deep"].shape == (3, 2, 64)
+    np.testing.assert_array_equal(
+        params["visual"]["vpt_deep"][1],
+        sd["visual.transformer.resblocks.1.VPT_shallow"],
+    )

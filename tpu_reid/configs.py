@@ -106,10 +106,24 @@ class ResNetConfig:
     output_dim: int = 1024
     h_grid: int = 7
     w_grid: int = 7
+    # ReID variant runs layer4 at stride 1 (reference: custom_clip_model.py:214)
+    # so the final map is input/16; standard CLIP RN is stride 2 (input/32).
+    layer4_stride: int = 1
+
+    @property
+    def total_stride(self) -> int:
+        return 16 * self.layer4_stride
 
     @property
     def heads(self) -> int:
         return self.width * 32 // 64
+
+    @staticmethod
+    def grid_for(
+        image_hw: Tuple[int, int], layer4_stride: int = 1
+    ) -> Tuple[int, int]:
+        s = 16 * layer4_stride
+        return image_hw[0] // s, image_hw[1] // s
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,163 @@
+"""Training losses — supervised contrastive, batch-hard triplet (incl. the
+cross-batch-memory variant), and label-smoothed cross entropy.
+
+Behavioral contracts (reference: losses.py):
+  * supcon_loss — text<->image supervised contrastive at temperature 1.0 with
+    a label-equality positive mask and log-sum-exp stabilization
+    (losses.py:155-176); applied in both directions in stage 1
+    (prompt_learning.py:445-448).
+  * triplet_loss — batch-hard mining (hardest positive = max distance,
+    hardest negative = min distance) over a euclidean distance matrix with
+    sqrt clamped at 1e-12 (losses.py:14-28, :31-83). margin=0.3 gives the
+    MarginRankingLoss form mean(relu(d_ap - d_an + margin)); margin=None the
+    SoftMarginLoss form mean(softplus(d_ap - d_an)) (losses.py:86-108).
+    The reference's boolean-gather mining assumes the PK sampler's equal
+    samples-per-identity; the masked max/min here computes the same hardest
+    pairs without that restriction.
+  * triplet_loss_xbm — anchors vs a memory bank of features; self-matches are
+    excluded via an explicit column mask instead of the reference's
+    first-N-columns eye subtraction (losses.py:131), which silently assumed
+    the batch sat at the start of the ring buffer. Divergence documented per
+    SURVEY.md §7.
+  * cross_entropy_label_smooth — ε=0.1 smoothing, `mean(0).sum()` reduction
+    (losses.py:179-209).
+
+All functions are pure and jit-safe (static shapes, fp32 internals).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def euclidean_dist(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise euclidean distance with the reference's 1e-12 clamp before
+    sqrt (losses.py:14-28)."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    sq = (
+        jnp.sum(x * x, axis=1, keepdims=True)
+        + jnp.sum(y * y, axis=1, keepdims=True).T
+        - 2.0 * x @ y.T
+    )
+    return jnp.sqrt(jnp.maximum(sq, 1e-12))
+
+
+def batch_hard_mining(
+    dist: jax.Array, labels: jax.Array, labels_cols: Optional[jax.Array] = None,
+    exclude_cols: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Hardest positive (max dist) and hardest negative (min dist) per row.
+
+    labels_cols defaults to labels (square batch case). exclude_cols is an
+    optional (N, M) bool mask of columns to ignore entirely (XBM self-match
+    exclusion)."""
+    if labels_cols is None:
+        labels_cols = labels
+    is_pos = labels[:, None] == labels_cols[None, :]
+    is_neg = ~is_pos
+    if exclude_cols is not None:
+        is_pos = is_pos & ~exclude_cols
+        is_neg = is_neg & ~exclude_cols
+    neg_inf = jnp.float32(-1e30)
+    pos_inf = jnp.float32(1e30)
+    d_ap = jnp.max(jnp.where(is_pos, dist, neg_inf), axis=1)
+    d_an = jnp.min(jnp.where(is_neg, dist, pos_inf), axis=1)
+    return d_ap, d_an
+
+
+def _ranking_loss(
+    d_ap: jax.Array, d_an: jax.Array, margin: Optional[float]
+) -> jax.Array:
+    if margin is not None:
+        return jnp.mean(jax.nn.relu(d_ap - d_an + margin))
+    return jnp.mean(jax.nn.softplus(d_ap - d_an))
+
+
+def triplet_loss(
+    feat: jax.Array,
+    labels: jax.Array,
+    margin: Optional[float] = 0.3,
+    normalize_feature: bool = False,
+) -> jax.Array:
+    if normalize_feature:
+        feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+    dist = euclidean_dist(feat, feat)
+    d_ap, d_an = batch_hard_mining(dist, labels)
+    return _ranking_loss(d_ap, d_an, margin)
+
+
+def triplet_loss_xbm(
+    feat: jax.Array,
+    labels: jax.Array,
+    feat_xbm: jax.Array,
+    labels_xbm: jax.Array,
+    margin: Optional[float] = None,
+    self_cols: Optional[jax.Array] = None,
+    normalize_feature: bool = False,
+) -> jax.Array:
+    """Anchors vs memory bank. self_cols: (N,) int column index of each
+    anchor's own slot in the bank (excluded from mining), or None."""
+    if normalize_feature:
+        feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+        feat_xbm = feat_xbm / jnp.linalg.norm(feat_xbm, axis=-1, keepdims=True)
+    dist = euclidean_dist(feat, feat_xbm)
+    exclude = None
+    if self_cols is not None:
+        m = feat_xbm.shape[0]
+        exclude = self_cols[:, None] == jnp.arange(m)[None, :]
+    d_ap, d_an = batch_hard_mining(dist, labels, labels_xbm, exclude)
+    return _ranking_loss(d_ap, d_an, margin)
+
+
+def supcon_loss(
+    anchor_features: jax.Array,
+    contrast_features: jax.Array,
+    anchor_labels: jax.Array,
+    contrast_labels: jax.Array,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Supervised contrastive loss between two feature sets
+    (reference: losses.py:155-176). Callers are expected to pass
+    L2-normalized features, as the reference trainers do."""
+    a = anchor_features.astype(jnp.float32)
+    c = contrast_features.astype(jnp.float32)
+    mask = (anchor_labels[:, None] == contrast_labels[None, :]).astype(
+        jnp.float32
+    )
+    logits = (a @ c.T) / temperature
+    logits = logits - jax.lax.stop_gradient(
+        jnp.max(logits, axis=1, keepdims=True)
+    )
+    log_prob = logits - jnp.log(
+        jnp.sum(jnp.exp(logits), axis=1, keepdims=True)
+    )
+    mean_log_prob_pos = jnp.sum(mask * log_prob, axis=1) / jnp.maximum(
+        jnp.sum(mask, axis=1), 1e-12
+    )
+    return -jnp.mean(mean_log_prob_pos)
+
+
+def cross_entropy_label_smooth(
+    logits: jax.Array,
+    labels: jax.Array,
+    epsilon: float = 0.1,
+) -> jax.Array:
+    """ε-smoothed CE with the reference's mean-over-batch / sum-over-class
+    reduction (losses.py:179-209)."""
+    n_cls = logits.shape[-1]
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    targets = jax.nn.one_hot(labels, n_cls, dtype=jnp.float32)
+    targets = (1.0 - epsilon) * targets + epsilon / n_cls
+    return jnp.sum(jnp.mean(-targets * log_probs, axis=0))
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Plain CE (the image-text logits term, prompt_learning.py:492-495)."""
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(
+        jnp.take_along_axis(log_probs, labels[:, None], axis=1)
+    )
