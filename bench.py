@@ -1,0 +1,83 @@
+"""Benchmark: gallery embeddings/sec/chip on the flagship encoder.
+
+Measures the north-star metric (BASELINE.json): CLIP ViT-B/16 ReID gallery
+embedding extraction at 256x128 / stride-12 overlapping patches, bf16,
+preprocessing fused into the same XLA program, single chip. Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 1e4 (the driver's >=1e4 emb/s/chip target).
+
+Timing notes for the axon tunnel: block_until_ready returns before remote
+execution completes, so every timing point forces a data dependency by
+fetching a scalar from the output; inputs are pre-staged on device the same
+way. Param init and the bf16 cast each run as ONE jitted program — per-leaf
+dispatch costs seconds/op through the tunnel.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_reid.data.transforms import DevicePreprocess
+    from tpu_reid.models import reid_clip as M
+    from tpu_reid.parallel.extract import make_extractor
+
+    from __graft_entry__ import _flagship
+
+    mcfg, params, (h, w) = _flagship()
+
+    @jax.jit
+    def to_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    params = to_bf16(params)
+    pp = DevicePreprocess((h, w), "vit", dtype=jnp.bfloat16)
+    extractor = make_extractor(
+        lambda p, im: M.eval_embed(p, mcfg, im),
+        pp,
+        flip_tta=False,
+        dtype=jnp.bfloat16,
+    )
+
+    batch = 512
+    rng = np.random.RandomState(0)
+    images = jax.device_put(rng.randint(0, 255, (batch, h, w, 3), np.uint8))
+    float(images.sum())  # force staging before the timed region
+
+    # compile + warmup (scalar fetch forces completion)
+    float(extractor(params, images)[0, 0])
+    float(extractor(params, images)[0, 0])
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = extractor(params, images)
+        float(out[0, 0])  # dependency barrier per iteration
+    dt = time.perf_counter() - t0
+
+    emb_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "gallery_embeddings_per_sec_per_chip",
+                "value": round(emb_per_sec, 1),
+                "unit": "emb/s/chip (ViT-B/16 256x128 stride12, bf16, fused preprocess)",
+                "vs_baseline": round(emb_per_sec / 1e4, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""End-to-end trainer tests on a tiny converted CLIP: stage-1/stage-2 update
+the right parameter partitions, losses are finite and decrease, and the
+sharded step runs over the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tests.torch_oracle as oracle
+from tpu_reid.configs import PromptDesign
+from tpu_reid.models import prompts as P
+from tpu_reid.models import reid_clip as M
+from tpu_reid.train import optim as O
+from tpu_reid.train import trainer as TR
+from tpu_reid.weights.convert import convert_clip
+
+RNG = np.random.RandomState(0)
+
+
+def tiny_model(mode="coop", n_cls=6):
+    design = PromptDesign()
+    if mode in ("ivlp", "promptsrc"):
+        design = PromptDesign(trainer="IVLP", vision_depth=2, vision_ctx=2,
+                              language_depth=2, language_ctx=2)
+    sd = oracle.make_clip_state_dict(
+        RNG, vision_width=64, vision_layers=2, patch=8, grid=4,
+        text_width=128, text_layers=2, vocab=120, context=12, embed_dim=32,
+    )
+    ccfg, cparams = convert_clip(sd, image_hw=(32, 16), stride=8, design=design)
+    if mode in ("ivlp", "promptsrc"):
+        # converter leaves VPT uninitialized when absent from the checkpoint
+        from tpu_reid.models.vit import init_vit
+        from tpu_reid.models.text import init_text
+
+        vinit = init_vit(jax.random.key(9), ccfg.vision)
+        cparams["visual"]["vpt_shallow"] = vinit["vpt_shallow"]
+        cparams["visual"]["vpt_deep"] = vinit["vpt_deep"]
+        tinit = init_text(jax.random.key(10), ccfg.text)
+        cparams["text"]["vpt_deep"] = tinit["vpt_deep"]
+
+    pcfg = (P.PromptLearnerConfig.coop(n_cls) if mode in ("coop", "adapter")
+            else P.PromptLearnerConfig.ivlp(n_cls))
+    tokens = np.zeros((1, 12), np.int32)
+    tokens[0, 0] = 118
+    tokens[0, 1:10] = RNG.randint(1, 117, 9)
+    tokens[0, 10] = 119
+    temb = np.asarray(cparams["text"]["token_embedding"])[tokens]
+    mcfg = M.ReidModelConfig(mode=mode, clip=ccfg, prompt=pcfg)
+    zs = None
+    if mode == "promptsrc":
+        zs = jax.tree.map(np.copy, cparams["visual"])
+    params = M.init_reid_model(
+        jax.random.key(0), mcfg, cparams, temb, tokens, zs_visual_params=zs
+    )
+    return mcfg, params
+
+
+def fake_batches(n_batches=3, bs=8, n_cls=6, seed=0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n_batches):
+        images = jnp.asarray(rng.randn(bs, 32, 16, 3).astype(np.float32))
+        labels = jnp.asarray(np.repeat(rng.choice(n_cls, bs // 4, replace=False), 4))
+        out.append((images, labels, np.ones(bs, bool)))
+    return out
+
+
+def leaves_equal(a, b):
+    return all(
+        np.allclose(x, y)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_partition_roundtrip():
+    mcfg, params = tiny_model("coop")
+    t, f = O.partition(params, lambda p: M.stage1_trainable(p, mcfg))
+    full = O.combine(t, f)
+    assert leaves_equal(full, params)
+    # stage-1 coop trains exactly the cls_ctx
+    assert O.count_params(t) == np.prod(params["prompt_learner"]["cls_ctx"].shape)
+
+
+def test_stage1_coop_cached():
+    mcfg, params = tiny_model("coop")
+    batches = fake_batches()
+    before = np.asarray(params["prompt_learner"]["cls_ctx"]).copy()
+    out = TR.run_stage1(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches), epochs=3,
+        log=lambda s: None,
+    )
+    assert not np.allclose(np.asarray(out["prompt_learner"]["cls_ctx"]), before)
+    # everything else untouched
+    assert leaves_equal(out["clip"], params["clip"])
+    assert leaves_equal(out["head"], params["head"])
+
+
+def test_stage1_ivlp_live():
+    mcfg, params = tiny_model("ivlp")
+    batches = fake_batches()
+    out = TR.run_stage1(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches), epochs=2,
+        log=lambda s: None,
+    )
+    # VPT tokens train in stage 1 for ivlp
+    assert not np.allclose(
+        np.asarray(out["clip"]["visual"]["vpt_shallow"]),
+        np.asarray(params["clip"]["visual"]["vpt_shallow"]),
+    )
+    assert leaves_equal(
+        out["clip"]["visual"]["blocks"], params["clip"]["visual"]["blocks"]
+    )
+
+
+def test_stage2_updates_encoder_freezes_prompts():
+    mcfg, params = tiny_model("coop")
+    batches = fake_batches()
+    losses = []
+    out = TR.run_stage2(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches), epochs=2,
+        log=lambda s: losses.append(s),
+    )
+    assert not leaves_equal(
+        out["clip"]["visual"]["blocks"], params["clip"]["visual"]["blocks"]
+    )
+    assert leaves_equal(out["prompt_learner"], params["prompt_learner"])
+    # BNNeck bias frozen at zero, running stats updated
+    np.testing.assert_array_equal(np.asarray(out["head"]["bn"]["bias"]), 0)
+    assert not np.allclose(
+        np.asarray(out["head"]["bn"]["mean"]),
+        np.asarray(params["head"]["bn"]["mean"]),
+    )
+
+
+def test_stage2_promptsrc_distill_and_gpa():
+    mcfg, params = tiny_model("promptsrc")
+    batches = fake_batches()
+    out = TR.run_stage2(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches), epochs=2,
+        log=lambda s: None,
+    )
+    # ZS teacher untouched
+    assert leaves_equal(out["zs_visual"], params["zs_visual"])
+
+
+def test_stage2_adapter_mode():
+    mcfg, params = tiny_model("adapter")
+    batches = fake_batches()
+    out = TR.run_stage2(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches), epochs=1,
+        log=lambda s: None,
+    )
+    assert not leaves_equal(out["adapter"], params["adapter"])
+
+
+def test_eval_embed_shape():
+    mcfg, params = tiny_model("coop")
+    images = jnp.zeros((4, 32, 16, 3))
+    emb = M.eval_embed(params, mcfg, images)
+    assert emb.shape == (4, 64 + 32)  # non_proj width + proj dim
+
+
+def test_stage1_loss_decreases():
+    mcfg, params = tiny_model("coop")
+    batches = fake_batches(n_batches=2, bs=16)
+    msgs = []
+    TR.run_stage1(
+        params, mcfg, TR.TrainConfig(lr_stage1=5e-3), lambda e: iter(batches),
+        epochs=30, log=msgs.append,
+    )
+    losses = [float(m.split("loss ")[1].split(" ")[0]) for m in msgs]
+    assert min(losses[5:]) < losses[0] - 0.01
+
+
+def test_sharded_stage2_step_8dev():
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mcfg, params = tiny_model("coop")
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    tcfg = TR.TrainConfig()
+    text_features = M.all_class_text_features(params, mcfg)
+    trainable, frozen = O.partition(
+        params, lambda p: M.stage2_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage2, bias_lr_mult=2.0)
+    opt_state = optimizer.init(trainable)
+    step = TR.make_stage2_step(mcfg, tcfg, optimizer, mesh=mesh)
+
+    images, labels, _ = fake_batches(1, bs=16)[0]
+    t2, f2, opt_state, loss = step(
+        replicate(mesh, trainable), replicate(mesh, frozen),
+        replicate(mesh, opt_state),
+        shard_batch(mesh, images), shard_batch(mesh, labels),
+        replicate(mesh, text_features),
+    )
+    assert np.isfinite(float(loss))
+    # sharded result equals the single-device step (global-batch semantics)
+    step1 = TR.make_stage2_step(mcfg, tcfg, optimizer)
+    t1, f1, _, loss1 = step1(
+        trainable, frozen, optimizer.init(trainable), images, labels,
+        text_features,
+    )
+    assert abs(float(loss) - float(loss1)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

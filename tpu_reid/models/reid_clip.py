@@ -1,0 +1,195 @@
+"""ReID CLIP assembly — the functional equivalent of the reference's
+CustomCLIP{Coop,IVLP,PromptSRC,Adapter} wrappers (reference:
+prompt_learning.py:52-325), as pure functions over one params pytree.
+
+One model = CLIP towers + prompt learner + BNNeck heads (+ adapter /
+frozen zero-shot teacher). The reference's mode-flag forward
+(`forward(image, label, get_image, get_texts)`) becomes separate pure
+functions — jit specializes each use instead of tracing dead branches:
+
+  * encode_image_features  — CLS triple (x11, x12, xproj)[:, 0]
+  * encode_text_features   — prompt learner -> text encoder -> EOT feature
+  * forward_train          — heads + features for the stage-2 loss
+  * eval_embed             — cat(non_proj, proj) 1280-d retrieval embedding
+    (reference: prompt_learning.py:114)
+
+Modes:
+  coop      — learned per-class text ctx only (prompt_learner trains)
+  ivlp      — + deep vision/language prompt tokens inside both towers
+  promptsrc — ivlp + frozen zero-shot image tower for L1 distillation
+  adapter   — coop + residual Adapter blended into the non-proj feature
+              at ratio 0.2 (reference: prompt_learning.py:241-242)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_reid.configs import CLIPConfig
+from tpu_reid.models import heads as H
+from tpu_reid.models import prompts as P
+from tpu_reid.models import text as T
+from tpu_reid.models import vit as V
+
+MODES = ("coop", "ivlp", "promptsrc", "adapter")
+
+
+@dataclasses.dataclass(frozen=True)
+class ReidModelConfig:
+    mode: str  # coop | ivlp | promptsrc | adapter
+    clip: CLIPConfig
+    prompt: P.PromptLearnerConfig
+    adapter_ratio: float = 0.2
+
+    def __post_init__(self):
+        assert self.mode in MODES, self.mode
+
+    @property
+    def n_cls(self) -> int:
+        return self.prompt.n_cls
+
+
+def init_reid_model(
+    key: jax.Array,
+    cfg: ReidModelConfig,
+    clip_params: dict,
+    template_embedding: jax.Array,
+    template_tokens: np.ndarray,
+    zs_visual_params: Optional[dict] = None,
+) -> dict:
+    """Assemble the full params pytree around converted CLIP weights.
+
+    zs_visual_params: frozen zero-shot teacher tower for promptsrc
+    (reference: prompt_learning.py:117-189 `ZS_image_encoder`)."""
+    k_pl, k_head, k_ad = jax.random.split(key, 3)
+    width = (
+        cfg.clip.vision.width if cfg.clip.vision is not None
+        else cfg.clip.resnet.width * 32
+    )
+    params = {
+        "clip": clip_params,
+        "prompt_learner": P.init_prompt_learner(
+            k_pl, cfg.prompt, template_embedding, template_tokens
+        ),
+        "head": H.init_classifier(
+            k_head, cfg.n_cls, dim_nonproj=width, dim_proj=cfg.clip.embed_dim
+        ),
+    }
+    if cfg.mode == "adapter":
+        params["adapter"] = H.init_adapter(k_ad, dim=width)
+    if cfg.mode == "promptsrc":
+        assert zs_visual_params is not None, "promptsrc needs a ZS teacher"
+        params["zs_visual"] = zs_visual_params
+    return params
+
+
+def _cls_triple(params: dict, cfg: ReidModelConfig, images: jax.Array):
+    x11, x12, xproj = V.apply_vit(params["clip"]["visual"], cfg.clip.vision, images)
+    return x11[:, 0], x12[:, 0], xproj[:, 0]
+
+
+def encode_image_features(
+    params: dict, cfg: ReidModelConfig, images: jax.Array
+) -> dict:
+    """CLS features at the three levels (reference contract:
+    coop.py:203-227). Adapter mode blends the non-proj level."""
+    last, non_proj, proj = _cls_triple(params, cfg, images)
+    if cfg.mode == "adapter":
+        non_proj = H.apply_adapter(
+            params["adapter"], non_proj, cfg.adapter_ratio
+        )
+    return {"last": last, "non_proj": non_proj, "proj": proj}
+
+
+def encode_text_features(
+    params: dict, cfg: ReidModelConfig, label: jax.Array
+) -> jax.Array:
+    """Prompt-learner text path (reference: prompt_learning.py:77-86)."""
+    prompts, eot = P.apply_prompt_learner(params["prompt_learner"], cfg.prompt, label)
+    return T.encode_text_embeddings(
+        params["clip"]["text"], cfg.clip.text, prompts, eot
+    )
+
+
+def all_class_text_features(
+    params: dict, cfg: ReidModelConfig, batch: int = 256
+) -> jax.Array:
+    """Text features for every class — the stage-2 precompute
+    (reference: prompt_learning.py:506-514). Host loop over class chunks so
+    the program is compiled once for one chunk shape."""
+    n = cfg.n_cls
+    pad = (-n) % batch
+    labels = jnp.concatenate([jnp.arange(n), jnp.zeros((pad,), jnp.int32)])
+    chunks = [
+        encode_text_features(params, cfg, labels[i : i + batch])
+        for i in range(0, n + pad, batch)
+    ]
+    return jnp.concatenate(chunks, axis=0)[:n]
+
+
+def forward_train(
+    params: dict, cfg: ReidModelConfig, images: jax.Array, train: bool = True
+) -> dict:
+    """Training-time forward for the stage-2 loss (reference:
+    prompt_learning.py:301-317): ID logits at both BNNeck levels + the
+    feature triple + optionally the frozen ZS teacher's non-proj feature."""
+    feats = encode_image_features(params, cfg, images)
+    head = H.apply_classifier(
+        params["head"], feats["non_proj"], feats["proj"], train=train
+    )
+    out = {
+        "cls_scores": (head["logits"], head["logits_proj"]),
+        "features": (feats["last"], feats["non_proj"], feats["proj"]),
+        "proj": feats["proj"],
+        "bn_stats": head["new_stats"],
+    }
+    if cfg.mode == "promptsrc":
+        _, zs_non_proj, _ = V.apply_vit(
+            params["zs_visual"], cfg.clip.vision, images
+        )
+        out["zs_non_proj"] = jax.lax.stop_gradient(zs_non_proj[:, 0])
+    return out
+
+
+def eval_embed(params: dict, cfg: ReidModelConfig, images: jax.Array) -> jax.Array:
+    """Retrieval embedding: cat(non_proj CLS, proj CLS) — 1280-d for
+    ViT-B/16 (reference: prompt_learning.py:114, :324)."""
+    feats = encode_image_features(params, cfg, images)
+    return jnp.concatenate([feats["non_proj"], feats["proj"]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# parameter partitions (what trains in each stage)
+# ---------------------------------------------------------------------------
+
+
+def stage1_trainable(path: Tuple[str, ...], cfg: ReidModelConfig) -> bool:
+    """Stage 1 trains the prompt learner ctx (+ VPT tokens for ivlp/promptsrc)
+    (reference: prompt_learning.py:396-402)."""
+    if path[0] == "prompt_learner":
+        return path[-1] == "cls_ctx"  # frozen prefix/suffix/eot stay put
+    if cfg.mode in ("ivlp", "promptsrc"):
+        return any(p.startswith("vpt_") for p in path)
+    return False
+
+
+def stage2_trainable(path: Tuple[str, ...], cfg: ReidModelConfig) -> bool:
+    """Stage 2 freezes prompts + VPT, trains the image tower + heads
+    (reference: prompt_learning.py:528-543). The text tower is also updated
+    by the reference (only prompt_learner/VPT are frozen) — mirrored here."""
+    if path[0] in ("prompt_learner", "zs_visual"):
+        return False
+    if any(p.startswith("vpt_") for p in path):
+        return False
+    # BNNeck bias frozen at zero (reference: utils.py:133)
+    if path[0] == "head" and path[1] in ("bn", "bn_proj") and path[-1] == "bias":
+        return False
+    # BN running stats are state, not parameters
+    if path[-1] in ("mean", "var"):
+        return False
+    return True

@@ -1,0 +1,89 @@
+"""Sharded gallery/query embedding extraction — the throughput north star
+(BASELINE.json: batched extraction across chips, >=1e4 emb/s/chip).
+
+The encoder sweep is one jitted program per (batch_shape): input batch
+sharded over the "data" mesh axis, params replicated, output features
+sharded the same way and LEFT ON DEVICE for the retrieval tail (the
+reference round-trips every batch through numpy — evaluate.py:107).
+
+Flip-TTA (reference: zero_shot_learning.py:103-128, prompt_learning.py:
+767-776) runs both passes inside the same program so the flip costs one
+fused encoder call, not a second loader sweep.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from tpu_reid.data.transforms import DevicePreprocess
+from tpu_reid.parallel.mesh import data_sharding, replicated
+
+
+def make_extractor(
+    embed_fn: Callable[[dict, jax.Array], jax.Array],
+    preprocess: DevicePreprocess,
+    mesh: Optional[Mesh] = None,
+    flip_tta: bool = True,
+    dtype=jnp.bfloat16,
+):
+    """Build a jitted sharded step: uint8 images -> embeddings.
+
+    embed_fn(params, images_normalized) -> (B, E); with flip_tta the plain
+    and flipped passes are averaged (reference: prompt_learning.py:773-776
+    adds them; the metrics L2-normalize, so sum == mean up to scale)."""
+
+    def step(params, images_u8):
+        x = preprocess.eval_batch(images_u8).astype(dtype)
+        feats = embed_fn(params, x)
+        if flip_tta:
+            feats = feats + embed_fn(params, x[:, :, ::-1])
+        return feats.astype(jnp.float32)
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(
+        step,
+        in_shardings=(replicated(mesh), data_sharding(mesh)),
+        out_shardings=data_sharding(mesh),
+    )
+
+
+def extract_embeddings(
+    extractor,
+    params: dict,
+    batches: Iterable,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[jax.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Sweep a loader; returns (features_on_device, pids, camids, seqids).
+
+    batches yield objects with .images (B, H, W, 3) uint8 (fixed B), .pids,
+    .camids, .seqids, .valid. Features stay in HBM; metadata is host-side.
+    """
+    feats = []
+    pids, camids, seqids = [], [], []
+    put = (lambda x: jax.device_put(x, data_sharding(mesh))) if mesh else jnp.asarray
+    for b in batches:
+        f = extractor(params, put(b.images))
+        if b.valid.all():
+            feats.append(f)
+            pids.append(b.pids)
+            camids.append(b.camids)
+            seqids.append(b.seqids)
+        else:
+            v = np.asarray(b.valid)
+            feats.append(np.asarray(f)[v])
+            pids.append(b.pids[v])
+            camids.append(b.camids[v])
+            seqids.append(b.seqids[v])
+    return (
+        jnp.concatenate([jnp.asarray(f) for f in feats], axis=0),
+        np.concatenate(pids),
+        np.concatenate(camids),
+        np.concatenate(seqids),
+    )

@@ -97,18 +97,23 @@ def triplet_loss_xbm(
     labels_xbm: jax.Array,
     margin: Optional[float] = None,
     self_cols: Optional[jax.Array] = None,
+    valid_cols: Optional[jax.Array] = None,
     normalize_feature: bool = False,
 ) -> jax.Array:
     """Anchors vs memory bank. self_cols: (N,) int column index of each
-    anchor's own slot in the bank (excluded from mining), or None."""
+    anchor's own slot in the bank (excluded from mining). valid_cols: (M,)
+    bool mask of filled bank slots (unfilled slots excluded)."""
     if normalize_feature:
         feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
         feat_xbm = feat_xbm / jnp.linalg.norm(feat_xbm, axis=-1, keepdims=True)
     dist = euclidean_dist(feat, feat_xbm)
+    m = feat_xbm.shape[0]
     exclude = None
     if self_cols is not None:
-        m = feat_xbm.shape[0]
         exclude = self_cols[:, None] == jnp.arange(m)[None, :]
+    if valid_cols is not None:
+        invalid = jnp.broadcast_to(~valid_cols[None, :], dist.shape)
+        exclude = invalid if exclude is None else (exclude | invalid)
     d_ap, d_an = batch_hard_mining(dist, labels, labels_xbm, exclude)
     return _ranking_loss(d_ap, d_an, margin)
 

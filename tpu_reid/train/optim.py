@@ -1,0 +1,156 @@
+"""Optimizer plumbing: parameter partitions, torch-style Adam, GPA averaging.
+
+The reference freezes/unfreezes via `requires_grad_` flags and per-param
+torch param groups (reference: prompt_learning.py:396-402, :526-543). Here
+a path predicate splits the params pytree into (trainable, frozen); grads
+are taken over the trainable subtree only, so frozen weights never even
+get gradient buffers.
+
+torch.optim.Adam's weight_decay is coupled L2 (decay added to the gradient
+BEFORE the Adam moments) — that is optax.add_decayed_weights placed before
+scale_by_adam, not adamw. The stage-2 "bias lr x2" param group is a linear
+post-scale on bias-leaf updates (Adam's update is linear in lr).
+
+GPA (Gaussian-weighted prompt averaging, PromptSRC) keeps a running
+gauss-weighted sum of the full params pytree and swaps it in at the end
+(reference: prompt_learning.py:335-353, :416-470).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+# ---------------------------------------------------------------------------
+# pytree partition by key-path predicate
+# ---------------------------------------------------------------------------
+
+
+def _paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _paths(v, prefix + (k,))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _paths(v, prefix + (str(i),))
+    else:
+        yield prefix, tree
+
+
+def partition(params, predicate: Callable[[Tuple[str, ...]], bool]):
+    """Split into (trainable, frozen) trees of identical structure, with
+    None at the complementary positions (jit-friendly: None is a leaf-less
+    subtree for jax)."""
+
+    def split(tree, prefix, keep):
+        if isinstance(tree, dict):
+            return {k: split(v, prefix + (k,), keep) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(
+                split(v, prefix + (str(i),), keep) for i, v in enumerate(tree)
+            )
+        return tree if predicate(prefix) == keep else None
+
+    return split(params, (), True), split(params, (), False)
+
+
+def combine(trainable, frozen):
+    """Inverse of partition."""
+    if trainable is None:
+        return frozen
+    if frozen is None:
+        return trainable
+    if isinstance(trainable, dict):
+        return {k: combine(trainable[k], frozen[k]) for k in trainable}
+    if isinstance(trainable, (list, tuple)):
+        return type(trainable)(
+            combine(a, b) for a, b in zip(trainable, frozen)
+        )
+    raise ValueError("overlapping leaves in partition")
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(np.shape(x))) for _, x in _paths(tree) if x is not None)
+
+
+# ---------------------------------------------------------------------------
+# optimizers
+# ---------------------------------------------------------------------------
+
+
+def torch_adam(
+    learning_rate, weight_decay: float = 0.0, bias_lr_mult: float = 1.0,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+):
+    """torch.optim.Adam semantics with optional bias-leaf lr multiplier.
+
+    learning_rate may be a float or a schedule-injected hyperparam; wrap
+    with optax.inject_hyperparams to drive it per epoch from host code."""
+    chain = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
+    chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    if bias_lr_mult != 1.0:
+        def scale_bias(updates):
+            def walk(tree, mult_tree=None):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, u: u * bias_lr_mult
+                    if any(
+                        getattr(p, "key", None) in ("b", "bias")
+                        for p in path
+                    )
+                    else u,
+                    tree,
+                )
+            return walk(updates)
+
+        chain.append(
+            optax.stateless(lambda updates, params=None: scale_bias(updates))
+        )
+    chain.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*chain)
+
+
+def make_stage_optimizer(
+    base_lr: float, weight_decay: float = 1e-4, bias_lr_mult: float = 1.0
+):
+    """inject_hyperparams wrapper so trainers set opt_state.hyperparams
+    ['learning_rate'] from the epoch schedule (reference steps its torch
+    schedulers per epoch)."""
+    return optax.inject_hyperparams(
+        torch_adam,
+        static_args=("weight_decay", "bias_lr_mult", "b1", "b2", "eps"),
+    )(
+        learning_rate=base_lr,
+        weight_decay=weight_decay,
+        bias_lr_mult=bias_lr_mult,
+    )
+
+
+def set_lr(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+# ---------------------------------------------------------------------------
+# GPA — gaussian-weighted parameter averaging (PromptSRC)
+# ---------------------------------------------------------------------------
+
+
+def gauss_weights(mu: float, sigma: float, max_epochs: int) -> np.ndarray:
+    """Normalized gaussian over epochs 1..max_epochs
+    (reference: prompt_learning.py:329-333)."""
+    xs = np.arange(1, max_epochs + 1, dtype=np.float64)
+    g = np.exp(-0.5 * ((xs - mu) / sigma) ** 2) / (sigma * np.sqrt(2 * np.pi))
+    return g / g.sum()
+
+
+def gpa_update(gpa_sum, params, weight: float):
+    """Running sum += weight * params (reference: prompt_learning.py:460-466)."""
+    scaled = jax.tree.map(lambda p: p * weight, params)
+    if gpa_sum is None:
+        return scaled
+    return jax.tree.map(jnp.add, gpa_sum, scaled)

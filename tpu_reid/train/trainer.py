@@ -1,0 +1,304 @@
+"""Two-stage prompt-learning trainers.
+
+Stage 1 (reference: prompt_learning.py:355-476) — learn text prompts:
+  * coop/adapter: image features are precomputed ONCE with the frozen
+    encoder, then every step only runs the text side against cached
+    features (reference: :365-382, :434-444),
+  * ivlp/promptsrc: VPT tokens change the image encoder, so image features
+    are recomputed live each step (reference: :427-433),
+  * loss = SupCon(i2t) + SupCon(t2i), Adam lr 3.5e-4 wd 1e-4, cosine
+    schedule with 5-epoch warmup, PromptSRC keeps a gaussian-weighted
+    parameter average (GPA mu=60 sigma=45).
+
+Stage 2 (reference: prompt_learning.py:479-595) — fine-tune the image tower:
+  * text features for all classes precomputed once with frozen prompts,
+  * loss = 0.25*smoothCE(id logits) per head + smoothCE(proj @ text.T)
+    + triplet(margin 0.3) on all three feature levels
+    (+ SmoothL1 vs the frozen ZS tower for promptsrc),
+  * Adam lr 5e-6 (bias x2) wd 1e-4, WarmupMultiStepLR([30,50], warmup 10),
+  * GPA mu=30 sigma=30 for promptsrc.
+
+Steps are pure jitted functions over (trainable, frozen) param partitions;
+epoch loops live on host and drive the lr through inject_hyperparams.
+GPA divergence (documented per SURVEY.md §7): the reference swaps the
+average in at the SECOND-TO-LAST epoch (`epoch == epochs-1` with 1-based
+epochs, :468); we swap at the end of training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_reid.models import reid_clip as M
+from tpu_reid.train import losses as L
+from tpu_reid.train import optim as O
+from tpu_reid.train import schedules as S
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs_stage1: int = 120
+    epochs_stage2: int = 60
+    lr_stage1: float = 3.5e-4
+    lr_stage2: float = 5e-6
+    weight_decay: float = 1e-4
+    triplet_margin: float = 0.3
+    id_loss_weight: float = 0.25
+    label_smooth_eps: float = 0.1
+    gpa_stage1: Tuple[float, float] = (60.0, 45.0)
+    gpa_stage2: Tuple[float, float] = (30.0, 30.0)
+
+
+def smooth_l1(x: jax.Array, y: jax.Array) -> jax.Array:
+    """torch F.smooth_l1_loss(beta=1, mean) for the promptsrc distill term
+    (reference: prompt_learning.py:490)."""
+    d = jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))
+    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+# ---------------------------------------------------------------------------
+# stage 1
+# ---------------------------------------------------------------------------
+
+
+def _jit_step(step, mesh, n_state: int, n_batch: int):
+    """jit with mesh shardings: the first n_state args replicated (params /
+    opt state), the remaining n_batch batch args sharded over "data". XLA
+    derives the gradient psum from the shardings — jax.jit is the SPMD
+    launcher, no pmap/NCCL analog."""
+    if mesh is None:
+        return jax.jit(step)
+    from tpu_reid.parallel.mesh import data_sharding, replicated
+
+    rep, dat = replicated(mesh), data_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep,) * n_state + (dat,) * n_batch,
+    )
+
+
+def make_stage1_step(cfg: M.ReidModelConfig, optimizer, cached: bool,
+                     mesh=None):
+    """Jitted stage-1 step. cached=True: batch carries precomputed image
+    features; cached=False (ivlp/promptsrc): batch carries images and the
+    (live) encoder runs inside the step. mesh: shard the batch over "data"
+    with replicated params."""
+
+    def loss_fn(trainable, frozen, batch):
+        params = O.combine(trainable, frozen)
+        labels = batch["labels"]
+        if cached:
+            image_features = batch["image_features"]
+        else:
+            image_features = M.encode_image_features(params, cfg, batch["images"])[
+                "proj"
+            ]
+        text_features = M.encode_text_features(params, cfg, labels)
+        loss = L.supcon_loss(image_features, text_features, labels, labels)
+        loss += L.supcon_loss(text_features, image_features, labels, labels)
+        return loss
+
+    def step(trainable, frozen, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    return _jit_step(step, mesh, n_state=3, n_batch=1)
+
+
+def precompute_image_features(
+    params: dict,
+    cfg: M.ReidModelConfig,
+    batches: Iterable,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frozen-encoder sweep caching proj features for the coop/adapter fast
+    path (reference: prompt_learning.py:365-382). Stays in HBM."""
+    encode = jax.jit(
+        lambda p, im: M.encode_image_features(p, cfg, im)["proj"]
+    )
+    feats, labels = [], []
+    for images, lab, valid in batches:
+        f = encode(params, images)
+        feats.append(f[np.asarray(valid)])
+        labels.append(np.asarray(lab)[np.asarray(valid)])
+    return jnp.concatenate(feats), jnp.asarray(np.concatenate(labels))
+
+
+def run_stage1(
+    params: dict,
+    cfg: M.ReidModelConfig,
+    tcfg: TrainConfig,
+    epoch_batches: Callable[[int], Iterable],
+    epochs: Optional[int] = None,
+    seed: int = 0,
+    mesh=None,
+    log: Callable[[str], None] = print,
+) -> dict:
+    """epoch_batches(epoch) yields (images_u8 or images, labels, valid)
+    device-ready batches. Returns trained params (GPA-averaged for
+    promptsrc)."""
+    epochs = epochs or tcfg.epochs_stage1
+    cached = cfg.mode in ("coop", "adapter")
+    trainable, frozen = O.partition(
+        params, lambda path: M.stage1_trainable(path, cfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
+    opt_state = optimizer.init(trainable)
+    step = make_stage1_step(cfg, optimizer, cached, mesh=mesh)
+
+    if cached:
+        feats, labels = precompute_image_features(
+            params, cfg, epoch_batches(0)
+        )
+        n = labels.shape[0]
+        rng = np.random.default_rng(seed)
+
+    gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
+    gpa = None
+    bs = None
+    for epoch in range(1, epochs + 1):
+        lr = S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
+        opt_state = O.set_lr(opt_state, lr)
+        losses = []
+        if cached:
+            if bs is None:
+                bs = min(64, n)
+            order = rng.permutation(n)
+            for i in range(0, n - bs + 1, bs):
+                sel = order[i : i + bs]
+                batch = {
+                    "image_features": feats[sel],
+                    "labels": labels[sel],
+                }
+                trainable, opt_state, loss = step(
+                    trainable, frozen, opt_state, batch
+                )
+                losses.append(float(loss))
+        else:
+            for images, lab, valid in epoch_batches(epoch):
+                batch = {"images": images, "labels": lab}
+                trainable, opt_state, loss = step(
+                    trainable, frozen, opt_state, batch
+                )
+                losses.append(float(loss))
+        if cfg.mode == "promptsrc":
+            gpa = O.gpa_update(
+                gpa, O.combine(trainable, frozen), gw[epoch - 1]
+            )
+        if losses:
+            log(
+                f"[stage1] epoch {epoch}/{epochs} "
+                f"loss {np.mean(losses):.4f} lr {lr:.2e}"
+            )
+    out = O.combine(trainable, frozen)
+    if cfg.mode == "promptsrc" and gpa is not None:
+        out = gpa
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stage 2
+# ---------------------------------------------------------------------------
+
+
+def make_stage2_step(
+    cfg: M.ReidModelConfig, tcfg: TrainConfig, optimizer, mesh=None
+):
+    def loss_fn(trainable, frozen, images, labels, text_features):
+        params = O.combine(trainable, frozen)
+        out = M.forward_train(params, cfg, images, train=True)
+        loss = jnp.float32(0.0)
+        if cfg.mode == "promptsrc":
+            loss += smooth_l1(out["features"][1], out["zs_non_proj"])
+        for score in out["cls_scores"]:
+            loss += tcfg.id_loss_weight * L.cross_entropy_label_smooth(
+                score, labels, tcfg.label_smooth_eps
+            )
+        logits = out["proj"].astype(jnp.float32) @ text_features.T.astype(
+            jnp.float32
+        )
+        loss += L.cross_entropy_label_smooth(
+            logits, labels, tcfg.label_smooth_eps
+        )
+        for feat in out["features"]:
+            loss += L.triplet_loss(feat, labels, margin=tcfg.triplet_margin)
+        return loss, out["bn_stats"]
+
+    def step(trainable, frozen, opt_state, images, labels, text_features):
+        (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, images, labels, text_features
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        # thread the BNNeck running stats (state lives in the frozen tree)
+        frozen = dict(frozen)
+        frozen["head"] = dict(frozen["head"])
+        for name in ("bn", "bn_proj"):
+            stats = bn_stats[name]
+            if stats is not None:
+                frozen["head"][name] = dict(frozen["head"][name])
+                frozen["head"][name]["mean"] = stats["mean"]
+                frozen["head"][name]["var"] = stats["var"]
+        return trainable, frozen, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+    from tpu_reid.parallel.mesh import data_sharding, replicated
+
+    rep, dat = replicated(mesh), data_sharding(mesh)
+    # params/opt state/text features replicated; image+label batch sharded
+    return jax.jit(step, in_shardings=(rep, rep, rep, dat, dat, rep))
+
+
+def run_stage2(
+    params: dict,
+    cfg: M.ReidModelConfig,
+    tcfg: TrainConfig,
+    epoch_batches: Callable[[int], Iterable],
+    epochs: Optional[int] = None,
+    mesh=None,
+    log: Callable[[str], None] = print,
+) -> dict:
+    epochs = epochs or tcfg.epochs_stage2
+    text_features = jax.lax.stop_gradient(
+        M.all_class_text_features(params, cfg)
+    )
+    trainable, frozen = O.partition(
+        params, lambda path: M.stage2_trainable(path, cfg)
+    )
+    optimizer = O.make_stage_optimizer(
+        tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
+    )
+    opt_state = optimizer.init(trainable)
+    step = make_stage2_step(cfg, tcfg, optimizer, mesh=mesh)
+
+    gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
+    gpa = None
+    for epoch in range(epochs):
+        lr = S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
+        opt_state = O.set_lr(opt_state, lr)
+        losses = []
+        for images, labels, valid in epoch_batches(epoch):
+            trainable, frozen, opt_state, loss = step(
+                trainable, frozen, opt_state, images, labels, text_features
+            )
+            losses.append(float(loss))
+        if cfg.mode == "promptsrc":
+            gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
+        if losses:
+            log(
+                f"[stage2] epoch {epoch + 1}/{epochs} "
+                f"loss {np.mean(losses):.4f} lr {lr:.2e}"
+            )
+    out = O.combine(trainable, frozen)
+    if cfg.mode == "promptsrc" and gpa is not None:
+        out = gpa
+    return out
