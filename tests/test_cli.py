@@ -1,0 +1,135 @@
+"""End-to-end CLI tests: zero-shot eval and two-stage prompt learning on a
+synthetic Market-1501-layout dataset with a tiny random CLIP checkpoint."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import tests.torch_oracle as oracle
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    """Synthetic dataset + checkpoint + merges + attributes."""
+    from PIL import Image
+
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path_factory.mktemp("cli")
+    base = root / "Market1501"
+    rng = np.random.RandomState(0)
+    for sub in ("bounding_box_train", "query", "bounding_box_test"):
+        (base / sub).mkdir(parents=True)
+    i = 0
+    for pid, cam, n in [(1, 1, 6), (2, 2, 6), (3, 3, 6), (4, 1, 6)]:
+        for k in range(n):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg")
+            i += 1
+    for pid in (1, 2, 3):
+        Image.fromarray(
+            rng.randint(0, 255, (64, 32, 3), np.uint8)
+        ).save(base / "query" / f"{pid:04d}_c2s1_{0:06d}_00.jpg")
+        for k in range(3):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "bounding_box_test" / f"{pid:04d}_c{1 + k % 3}s1_{k:06d}_00.jpg")
+
+    # tiny CLIP checkpoint in torch format
+    import torch
+
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny_clip.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+
+    merges = str(root / "merges.txt.gz")
+    write_test_merges(merges, [("p", "h"), ("ph", "o"), ("o", "f</w>")])
+
+    # attribute mat with 3 identities named 0001..0003
+    from scipy import io as sio
+
+    n = 3
+    rows = {}
+    names10 = ["age", "backpack", "bag", "handbag", "clothes", "down", "up",
+               "hair", "hat", "gender"]
+    for nm in names10:
+        rows[nm] = [[1 + (j % 2) for j in range(n)]]
+    for c in range(8):
+        rows[f"up{c}"] = [[1 for _ in range(n)]]
+    for c in range(9):
+        rows[f"down{c}"] = [[1 for _ in range(n)]]
+    idx_cell = np.empty((1, n), object)
+    for j in range(n):
+        idx_cell[0, j] = np.array([f"{j + 1:04d}"])
+    rows["image_index"] = [idx_cell]
+    split = np.array([tuple(rows[k] for k in rows)],
+                     dtype=[(k, object) for k in rows])
+    mat = np.array([[(split,)]], dtype=[("train", object)])
+    attr = str(root / "market_attribute.mat")
+    sio.savemat(attr, {"market_attribute": mat})
+
+    return {"root": str(root), "ckpt": ckpt, "merges": merges, "attr": attr}
+
+
+def test_zero_shot_cli(assets, monkeypatch):
+    from tpu_reid.cli import zero_shot as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["zero_shot",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--attributes", assets["attr"],
+         "--height", "32", "--stride", "8", "--bs", "4",
+         "--test_dataset", "market1501"],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+    assert cmc.shape[0] == 9  # gallery has 9 images (< max_rank)
+
+
+def test_zero_shot_cli_mm_augmented(assets, monkeypatch):
+    from tpu_reid.cli import zero_shot as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["zero_shot",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--attributes", assets["attr"],
+         "--augmented_template", "--mm",
+         "--height", "32", "--stride", "8", "--bs", "4"],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
+@pytest.mark.parametrize("mode", ["coop", "ivlp"])
+def test_prompt_learning_cli(assets, monkeypatch, tmp_path, mode):
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", mode,
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+    # checkpoints written
+    ckdir = tmp_path / "ckpts" / mode / "market1501"
+    assert ckdir.exists() and any(ckdir.iterdir())

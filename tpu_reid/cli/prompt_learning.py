@@ -1,0 +1,270 @@
+"""Two-stage prompt-learning CLI (CoOp / IVLP / PromptSRC / CLIP-Adapter).
+
+TPU-native equivalent of the reference entry point
+(reference: prompt_learning.py:645-777): stage-1 prompt learning, stage-2
+vision fine-tuning, then flip-TTA embedding extraction and CMC/mAP.
+
+    python -m tpu_reid.cli.prompt_learning --root /data \
+        --model_path ViT-B-16.pt --bpe_path bpe_simple_vocab_16e6.txt.gz \
+        --training_mode ivlp --train_dataset market1501 \
+        --epochs_stage1 120 --epochs_stage2 60 --save_path ./out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def params_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="./", type=str)
+    p.add_argument("--bs", default=64, type=int)
+    p.add_argument("--model_path", required=True, type=str)
+    p.add_argument("--bpe_path", required=True, type=str)
+    p.add_argument("--height", default=256, type=int)
+    p.add_argument("--ratio", default=0.5, type=float)
+    p.add_argument("--stride", default=12, type=int)
+    p.add_argument("--epochs_stage1", default=120, type=int)
+    p.add_argument("--epochs_stage2", default=60, type=int)
+    p.add_argument("--save_path", default="./checkpoints", type=str)
+    p.add_argument("--vpt_ctx", default=2, type=int)
+    p.add_argument("--training_mode", default="ivlp", type=str,
+                   choices=["coop", "ivlp", "promptsrc", "adapter"])
+    p.add_argument("--train_dataset", default="market1501", type=str)
+    p.add_argument("--test_dataset", default=None, type=str,
+                   help="defaults to --train_dataset")
+    p.add_argument("--pretrained_vpt", default=None, type=str,
+                   help="IVLP ImageNet-pretrained VPT checkpoint "
+                        "(reference: clip_imagenet_pretrained_ivlp.pth.tar-5)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--rerank", action="store_true")
+    p.add_argument("--log_dir", default=None, type=str)
+    p.add_argument("--seed", default=0, type=int)
+    return p.parse_args()
+
+
+def build_model(args, n_cls: int, car_types=None):
+    """Load + convert CLIP and assemble the ReID model for the chosen mode."""
+    import jax
+
+    from tpu_reid.configs import PromptDesign
+    from tpu_reid.models import prompts as P
+    from tpu_reid.models import reid_clip as M
+    from tpu_reid.models.tokenizer import ClipTokenizer
+    from tpu_reid.models.vit import init_vit
+    from tpu_reid.models.text import init_text
+    from tpu_reid.weights.convert import (
+        convert_clip, load_state_dict, merge_pretrained,
+    )
+
+    h, w = args.height, int(args.height * args.ratio)
+    design = PromptDesign()
+    if args.training_mode in ("ivlp", "promptsrc"):
+        design = PromptDesign(
+            trainer="IVLP", vision_depth=12, vision_ctx=args.vpt_ctx,
+            language_depth=12, language_ctx=args.vpt_ctx,
+        )
+    sd = load_state_dict(args.model_path)
+    cfg, clip_params = convert_clip(
+        sd, image_hw=(h, w), stride=args.stride, design=design
+    )
+
+    if design.has_vision_prompts:
+        # fresh VPT tokens (checkpoint has none), then optionally overlay
+        # ImageNet-pretrained VPT weights (reference:
+        # prompt_learning.py:721-745 keeps only VPT keys, shape-tolerant)
+        vinit = init_vit(jax.random.key(1), cfg.vision)
+        clip_params["visual"].setdefault("vpt_shallow", vinit["vpt_shallow"])
+        clip_params["visual"].setdefault("vpt_deep", vinit["vpt_deep"])
+        tinit = init_text(jax.random.key(2), cfg.text)
+        clip_params["text"].setdefault("vpt_deep", tinit["vpt_deep"])
+        if args.pretrained_vpt:
+            vpt_sd = load_state_dict(args.pretrained_vpt)
+            from tpu_reid.weights.convert import convert_vit, convert_text
+
+            vpt_only = {
+                k: v for k, v in vpt_sd.items() if "VPT" in k
+            }
+            if vpt_only:
+                full = dict(sd)
+                full.update(vpt_only)
+                upd_v = convert_vit(full, cfg.vision)
+                upd_t = convert_text(full, cfg.text)
+                clip_params["visual"] = merge_pretrained(
+                    clip_params["visual"],
+                    {k: upd_v[k] for k in ("vpt_shallow", "vpt_deep")
+                     if k in upd_v},
+                )
+                clip_params["text"] = merge_pretrained(
+                    clip_params["text"],
+                    {k: upd_t[k] for k in ("vpt_deep",) if k in upd_t},
+                )
+
+    # prompt templates
+    from tpu_reid.models.prompts import base_template, veri_templates
+
+    tokenizer = ClipTokenizer(args.bpe_path)
+    if args.train_dataset == "veri" and car_types is not None:
+        if args.training_mode in ("ivlp", "promptsrc"):
+            pcfg = P.PromptLearnerConfig(
+                n_cls, n_prefix=5, n_cls_ctx=4, per_class=True
+            )
+            texts = veri_templates(car_types, n_cls_ctx=4)
+        else:
+            pcfg = P.PromptLearnerConfig.veri(n_cls)
+            texts = veri_templates(car_types, n_cls_ctx=3)
+        tokens = tokenizer.tokenize(texts, truncate=True)
+    else:
+        pcfg = (P.PromptLearnerConfig.coop(n_cls)
+                if args.training_mode in ("coop", "adapter")
+                else P.PromptLearnerConfig.ivlp(n_cls))
+        tokens = tokenizer.tokenize(base_template(args.train_dataset))
+    temb = np.asarray(clip_params["text"]["token_embedding"])[tokens]
+
+    mcfg = M.ReidModelConfig(
+        mode=args.training_mode, clip=cfg, prompt=pcfg
+    )
+    zs = None
+    if args.training_mode == "promptsrc":
+        # frozen zero-shot teacher = a copy of the pretrained tower
+        # (the reference multitask path builds it via a depth-0 maple model,
+        # prompt_learning_multitask.py:760-771; the promptsrc call in
+        # prompt_learning.py:695 crashes as written — SURVEY.md §7)
+        import jax.numpy as jnp
+
+        zs = jax.tree.map(jnp.array, clip_params["visual"])
+    params = M.init_reid_model(
+        jax.random.key(args.seed), mcfg, clip_params, temb, tokens,
+        zs_visual_params=zs,
+    )
+    return mcfg, params, (h, w)
+
+
+def main():
+    args = params_parser()
+    args.test_dataset = args.test_dataset or args.train_dataset
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_reid.data.datasets import get_dataset
+    from tpu_reid.data.loader import BatchLoader
+    from tpu_reid.data.sampler import PKSampler
+    from tpu_reid.data.transforms import DevicePreprocess
+    from tpu_reid.models import reid_clip as M
+    from tpu_reid.parallel.extract import extract_embeddings, make_extractor
+    from tpu_reid.retrieval import Evaluator
+    from tpu_reid.runtime.checkpoint import CheckpointManager
+    from tpu_reid.runtime.observe import MetricLogger
+    from tpu_reid.train import trainer as TR
+
+    log = MetricLogger(args.log_dir)
+    dataset = get_dataset(args.root, args.train_dataset)
+    n_cls = dataset.num_train_pids
+    mcfg, params, (h, w) = build_model(args, n_cls, dataset.car_types_train)
+    log.log("model", mode=args.training_mode, n_cls=n_cls, h=h, w=w)
+
+    pp = DevicePreprocess((h, w), "vit")
+    key = jax.random.key(args.seed)
+
+    def stage1_batches(epoch):
+        # plain-shuffle loader, Pad((10,5)) train transform
+        # (reference: get_loader_train, data_prepare.py:190-198)
+        loader = BatchLoader(
+            dataset.train, args.bs, (h, w), order="shuffle",
+            seed=args.seed + epoch, drop_tail=True,
+        )
+        k = jax.random.fold_in(key, epoch)
+        for i, b in enumerate(loader):
+            imgs = pp.train_batch(
+                jnp.asarray(b.images), jax.random.fold_in(k, i),
+                pad_hw=(5, 10),
+            )
+            yield imgs, jnp.asarray(b.pids), b.valid
+
+    def stage1_eval_batches(epoch):
+        # deterministic transform for the cached-feature precompute
+        # (reference uses the val-transform copy, prompt_learning.py:365-382)
+        loader = BatchLoader(dataset.train, args.bs, (h, w))
+        for b in loader:
+            yield pp.eval_batch(jnp.asarray(b.images)), jnp.asarray(b.pids), b.valid
+
+    def stage2_batches(epoch):
+        labels = [r[1] for r in dataset.train]
+        sampler = PKSampler(labels, args.bs, 4, seed=args.seed + epoch)
+        loader = BatchLoader(
+            dataset.train, args.bs, (h, w), order=sampler.epoch()
+        )
+        k = jax.random.fold_in(key, 10_000 + epoch)
+        for i, b in enumerate(loader):
+            imgs = pp.train_batch(
+                jnp.asarray(b.images), jax.random.fold_in(k, i),
+                pad_hw=(10, 10),
+            )
+            yield imgs, jnp.asarray(b.pids), b.valid
+
+    tcfg = TR.TrainConfig(
+        epochs_stage1=args.epochs_stage1, epochs_stage2=args.epochs_stage2
+    )
+    ckpt_dir = os.path.join(
+        args.save_path, args.training_mode, args.train_dataset
+    )
+    mgr = CheckpointManager(ckpt_dir, save_interval=20)
+
+    with log.phase("stage1"):
+        batches = (
+            stage1_eval_batches
+            if mcfg.mode in ("coop", "adapter")
+            else stage1_batches
+        )
+        params = TR.run_stage1(
+            params, mcfg, tcfg, batches, epochs=args.epochs_stage1,
+            log=lambda s: log.log("train", msg=s),
+        )
+        mgr.save(args.epochs_stage1, {"params": params, "stage": 1})
+
+    with log.phase("stage2"):
+        params = TR.run_stage2(
+            params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
+            log=lambda s: log.log("train", msg=s),
+        )
+        mgr.save(
+            args.epochs_stage1 + args.epochs_stage2,
+            {"params": params, "stage": 2},
+        )
+
+    with log.phase("test"):
+        test_ds = get_dataset(args.root, args.test_dataset)
+        extractor = make_extractor(
+            lambda p, im: M.eval_embed(p, mcfg, im), pp, flip_tta=True,
+        )
+        g_feats, g_pids, g_cams, _ = extract_embeddings(
+            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w))
+        )
+        q_feats, q_pids, q_cams, _ = extract_embeddings(
+            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w))
+        )
+        ev = Evaluator(
+            num_query=len(q_pids), max_rank=10, feat_norm=True,
+            reranking=args.rerank,
+        )
+        ev.update(q_feats, q_pids, q_cams)
+        ev.update(g_feats, g_pids, g_cams)
+        cmc, mAP = ev.compute()
+    def rank(k):  # gallery may be smaller than max_rank
+        return float(cmc[min(k - 1, len(cmc) - 1)])
+
+    log.log("result", mAP=float(mAP), rank1=rank(1),
+            rank5=rank(5), rank10=rank(10))
+    print(
+        f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
+        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}"
+    )
+    return cmc, mAP
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Zero-shot ReID evaluation CLI.
+
+TPU-native equivalent of the reference entry point
+(reference: zero_shot_learning.py:156-196). Flag surface mirrors the
+reference (--root --bs --model_path --augmented_template --height --ratio
+--mm --clip_weights --training_mode --test_dataset) plus the explicit
+asset paths the reference hardcodes or downloads (--bpe_path,
+--attributes).
+
+    python -m tpu_reid.cli.zero_shot --root /data --model_path ViT-B-16.pt \
+        --bpe_path bpe_simple_vocab_16e6.txt.gz \
+        --attributes market_attribute.mat --augmented_template --mm
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def params_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="./", type=str)
+    p.add_argument("--bs", default=64, type=int)
+    p.add_argument("--model_path", required=True, type=str,
+                   help="OpenAI CLIP checkpoint (.pt jit archive or .pth)")
+    p.add_argument("--bpe_path", required=True, type=str,
+                   help="bpe_simple_vocab_16e6.txt.gz")
+    p.add_argument("--attributes", default=None, type=str,
+                   help="market_attribute.mat (omit for simple templates)")
+    p.add_argument("--augmented_template", action="store_true")
+    p.add_argument("--height", default=224, type=int)
+    p.add_argument("--ratio", default=0.5, type=float)
+    p.add_argument("--stride", default=12, type=int)
+    p.add_argument("--mm", action="store_true")
+    p.add_argument("--clip_weights", type=str, default=None,
+                   help="CLIP-ReID checkpoint to overlay (image_encoder.*)")
+    p.add_argument("--training_mode", type=str, default="coop",
+                   choices=["coop", "ivlp", "promptsrc"])
+    p.add_argument("--test_dataset", type=str, default="market1501",
+                   choices=["market1501", "dukemtmc", "msmt17", "veri",
+                            "vehicleid", "personx"])
+    p.add_argument("--rerank", action="store_true")
+    p.add_argument("--no_flip_tta", action="store_true")
+    p.add_argument("--log_dir", default=None, type=str)
+    return p.parse_args()
+
+
+def main():
+    args = params_parser()
+    import jax.numpy as jnp
+
+    from tpu_reid.configs import PromptDesign
+    from tpu_reid.data import attributes as A
+    from tpu_reid.data.datasets import get_dataset
+    from tpu_reid.data.loader import BatchLoader
+    from tpu_reid.data.transforms import DevicePreprocess
+    from tpu_reid.models.tokenizer import ClipTokenizer
+    from tpu_reid.parallel.extract import extract_embeddings, make_extractor
+    from tpu_reid.pipelines import zero_shot as Z
+    from tpu_reid.runtime.observe import MetricLogger
+    from tpu_reid.weights.convert import (
+        convert_clip, load_state_dict, overlay_clip_reid,
+    )
+
+    log = MetricLogger(args.log_dir)
+    h, w = args.height, int(args.height * args.ratio)
+    model_type = "vit"  # RN50 supported via checkpoint shape inference
+
+    with log.phase("load_weights"):
+        sd = load_state_dict(args.model_path)
+        if args.clip_weights:
+            sd = overlay_clip_reid(sd, load_state_dict(args.clip_weights))
+        design = PromptDesign()
+        if args.training_mode == "ivlp":
+            design = PromptDesign(trainer="IVLP", vision_depth=12,
+                                  vision_ctx=2, language_depth=12,
+                                  language_ctx=2)
+        cfg, params = convert_clip(sd, image_hw=(h, w), stride=args.stride,
+                                   design=design)
+        if cfg.vision is None:
+            model_type = "rn"
+
+    with log.phase("build_classifier"):
+        tokenizer = ClipTokenizer(args.bpe_path)
+        if args.attributes:
+            if args.augmented_template:
+                ids, templates = A.get_prompts_augmented(args.attributes)
+            else:
+                ids, templates = A.get_prompts(args.attributes)
+        else:
+            dataset_probe = get_dataset(args.root, args.test_dataset)
+            n = len({r[1] for r in dataset_probe.query + dataset_probe.gallery})
+            ids, templates = A.get_prompts_simple(
+                [str(i) for i in range(n)], n
+            )
+        zs_weights = Z.zeroshot_classifier(
+            params, cfg, tokenizer, ids, templates,
+            augmented=args.augmented_template or not args.attributes,
+        )
+
+    with log.phase("extract"):
+        dataset = get_dataset(args.root, args.test_dataset)
+        pp = DevicePreprocess((h, w), model_type, dtype=jnp.bfloat16)
+        extractor = make_extractor(
+            Z.make_zeroshot_embed(params, cfg), pp,
+            flip_tta=not args.no_flip_tta, dtype=jnp.bfloat16,
+        )
+        g_feats, g_pids, g_cams, _ = extract_embeddings(
+            extractor, params,
+            BatchLoader(dataset.gallery, args.bs, (h, w)),
+        )
+        q_feats, q_pids, q_cams, _ = extract_embeddings(
+            extractor, params,
+            BatchLoader(dataset.query, args.bs, (h, w)),
+        )
+        log.log("extracted", gallery=len(g_pids), query=len(q_pids))
+
+    with log.phase("evaluate"):
+        cmc, mAP = Z.evaluate_zero_shot(
+            q_feats, g_feats, q_pids, g_pids, q_cams, g_cams,
+            zs_weights=zs_weights, proj_dim=cfg.embed_dim,
+            multimodal=args.mm, max_rank=50, reranking=args.rerank,
+        )
+    def rank(k):  # gallery may be smaller than max_rank
+        return float(cmc[min(k - 1, len(cmc) - 1)])
+
+    log.log(
+        "result", mAP=float(mAP),
+        rank1=rank(1), rank5=rank(5), rank10=rank(10),
+    )
+    print(
+        f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
+        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}"
+    )
+    return cmc, mAP
+
+
+if __name__ == "__main__":
+    main()

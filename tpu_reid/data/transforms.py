@@ -172,7 +172,8 @@ class DevicePreprocess:
         divergence; parity mode uses the host path)."""
         return self.eval_batch(images_u8[:, :, ::-1])
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=0,
+             static_argnames=("pad_hw", "erasing_prob"))
     def train_batch(
         self, images_u8: jax.Array, key: jax.Array,
         pad_hw: Tuple[int, int] = (10, 10), erasing_prob: float = 0.5,

@@ -35,14 +35,15 @@ def make_extractor(
     """Build a jitted sharded step: uint8 images -> embeddings.
 
     embed_fn(params, images_normalized) -> (B, E); with flip_tta the plain
-    and flipped passes are averaged (reference: prompt_learning.py:773-776
-    adds them; the metrics L2-normalize, so sum == mean up to scale)."""
+    and flipped passes are averaged (reference: zero_shot_learning.py:
+    117-125 divides by 2 — the mean, not the sum, matters for mm mode where
+    the two halves of the embedding have independent scales)."""
 
     def step(params, images_u8):
         x = preprocess.eval_batch(images_u8).astype(dtype)
         feats = embed_fn(params, x)
         if flip_tta:
-            feats = feats + embed_fn(params, x[:, :, ::-1])
+            feats = (feats + embed_fn(params, x[:, :, ::-1])) * 0.5
         return feats.astype(jnp.float32)
 
     if mesh is None:

@@ -161,8 +161,11 @@ def k_reciprocal_rerank(
     """
     qf = jnp.asarray(qf, jnp.float32)
     gf = jnp.asarray(gf, jnp.float32)
-    kh = int(np.around(k1 / 2)) + 1
     n = qf.shape[0] + gf.shape[0]
+    # tiny-gallery clamp: neighbor lists cannot exceed the population
+    k1 = min(k1, n - 1)
+    k2 = min(k2, n)
+    kh = min(int(np.around(k1 / 2)) + 1, n)
     row_block = min(row_block, n)
     q_block = min(q_block, qf.shape[0])
     return _rerank_core(

@@ -325,6 +325,20 @@ def convert_clip(
     return cfg, params
 
 
+def overlay_clip_reid(base_sd: StateDict, reid_sd: StateDict) -> StateDict:
+    """Overlay a CLIP-ReID training checkpoint onto an OpenAI CLIP state
+    dict: `image_encoder.*` keys remap onto `visual.*`, `text_encoder.*`
+    onto the top-level text keys (reference: utils.py:211-217,
+    zero_shot_learning.py:28-35). Convert the result with convert_clip."""
+    out = dict(base_sd)
+    for k, v in reid_sd.items():
+        if k.startswith("image_encoder."):
+            out["visual." + k[len("image_encoder."):]] = v
+        elif k.startswith("text_encoder."):
+            out[k[len("text_encoder."):]] = v
+    return out
+
+
 def merge_pretrained(params: dict, updates: dict, path: str = "") -> dict:
     """Shape-tolerant recursive merge: leaves in `updates` replace leaves in
     `params` when shapes match; mismatches are skipped with a warning
