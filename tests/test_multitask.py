@@ -1,0 +1,200 @@
+"""Multitask trainer tests: hard sharing (+XBM) and hard-sharing IVLP with
+dual text towers + per-dataset resolutions; plus the multitask CLI."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tests.torch_oracle as oracle
+from tpu_reid.configs import PromptDesign
+from tpu_reid.models import prompts as P
+from tpu_reid.train import multitask as MT
+from tpu_reid.train import xbm as X
+from tpu_reid.train.trainer import TrainConfig
+from tpu_reid.weights.convert import convert_clip
+
+RNG = np.random.RandomState(0)
+
+
+def build_mt(variant="hard", hw2=(32, 16)):
+    design = PromptDesign()
+    if variant == "hard_ivlp":
+        design = PromptDesign(trainer="IVLP", vision_depth=2, vision_ctx=2,
+                              language_depth=2, language_ctx=2)
+    sd = oracle.make_clip_state_dict(
+        RNG, vision_width=64, vision_layers=2, patch=8, grid=4,
+        text_width=128, text_layers=2, vocab=120, context=12, embed_dim=32,
+    )
+    cfg1, cparams = convert_clip(sd, image_hw=(32, 16), stride=8, design=design)
+    if variant == "hard_ivlp":
+        from tpu_reid.models.vit import init_vit
+        from tpu_reid.models.text import init_text
+
+        vinit = init_vit(jax.random.key(9), cfg1.vision)
+        cparams["visual"]["vpt_shallow"] = vinit["vpt_shallow"]
+        cparams["visual"]["vpt_deep"] = vinit["vpt_deep"]
+        cparams["text"]["vpt_deep"] = init_text(
+            jax.random.key(10), cfg1.text
+        )["vpt_deep"]
+    import dataclasses
+
+    from tpu_reid.configs import VisionConfig
+
+    hg, wg = VisionConfig.grid_for(hw2, 8, 8)
+    cfg2 = dataclasses.replace(
+        cfg1, vision=dataclasses.replace(cfg1.vision, h_grid=hg, w_grid=wg)
+    )
+    mk = (P.PromptLearnerConfig.ivlp if variant == "hard_ivlp"
+          else P.PromptLearnerConfig.coop)
+    mcfg = MT.MultitaskModelConfig(
+        variant=variant, clip=cfg1, clip2=cfg2,
+        prompt1=mk(5), prompt2=mk(4),
+    )
+    tokens = np.zeros((1, 12), np.int32)
+    tokens[0, 0] = 118
+    tokens[0, 1:10] = RNG.randint(1, 117, 9)
+    tokens[0, 10] = 119
+    emb = np.asarray(cparams["text"]["token_embedding"])[tokens]
+    params = MT.init_multitask_model(
+        jax.random.key(0), mcfg, cparams, emb, tokens, emb, tokens
+    )
+    return mcfg, params
+
+
+def batches(task_hw, n_cls, n=2, bs=8, seed=0):
+    rng = np.random.RandomState(seed)
+    h, w = task_hw
+    return [
+        (jnp.asarray(rng.randn(bs, h, w, 3).astype(np.float32)),
+         jnp.asarray(np.repeat(rng.choice(n_cls, bs // 4, replace=False), 4)),
+         np.ones(bs, bool))
+        for _ in range(n)
+    ]
+
+
+def leaves_equal(a, b):
+    return all(np.allclose(x, y)
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_hard_sharing_stage1_updates_both_prompts():
+    mcfg, params = build_mt("hard")
+    def sched(epoch):
+        return MT.alternate(batches((32, 16), 5), batches((32, 16), 4))
+    out = MT.run_mt_stage1(params, mcfg, TrainConfig(), sched, epochs=2,
+                           log=lambda s: None)
+    # GPA averaging is unconditional for hard variants: everything is a
+    # weighted average of epoch snapshots — prompts must have moved
+    assert not np.allclose(np.asarray(out["prompt1"]["cls_ctx"]),
+                           np.asarray(params["prompt1"]["cls_ctx"]))
+    assert not np.allclose(np.asarray(out["prompt2"]["cls_ctx"]),
+                           np.asarray(params["prompt2"]["cls_ctx"]))
+
+
+def test_hard_ivlp_dual_text_and_resolutions():
+    mcfg, params = build_mt("hard_ivlp", hw2=(40, 24))
+    assert "text2" in params
+    assert "pos_embed2" in params
+    # task-1 text path uses the second tower: same label, different features
+    f1 = MT.encode_text_mt(params, mcfg, 0, jnp.array([1]))
+    # perturb text2 and confirm task-1 output shifts while task-0 is stable
+    params2 = dict(params)
+    params2["text2"] = jax.tree.map(lambda x: x + 0.01, params["text2"])
+    f2a = MT.encode_text_mt(params2, mcfg, 1, jnp.array([1]))
+    f2b = MT.encode_text_mt(params, mcfg, 1, jnp.array([1]))
+    assert not np.allclose(np.asarray(f2a), np.asarray(f2b))
+    np.testing.assert_allclose(
+        np.asarray(MT.encode_text_mt(params2, mcfg, 0, jnp.array([1]))),
+        np.asarray(f1), atol=1e-6,
+    )
+    # per-dataset resolutions run through the shared trunk
+    e1 = MT.eval_embed_mt(params, mcfg, 0, jnp.zeros((2, 32, 16, 3)))
+    e2 = MT.eval_embed_mt(params, mcfg, 1, jnp.zeros((2, 40, 24, 3)))
+    assert e1.shape == e2.shape == (2, 64 + 32)
+
+
+def test_hard_stage2_with_xbm():
+    mcfg, params = build_mt("hard")
+    def sched(epoch):
+        return MT.chain_tasks(batches((32, 16), 5, seed=epoch),
+                              batches((32, 16), 4, seed=epoch + 50))
+    out = MT.run_mt_stage2(params, mcfg, TrainConfig(), sched, epochs=2,
+                           xbm_capacity=16, xbm_start_epoch=0,
+                           log=lambda s: None)
+    assert not leaves_equal(out["clip"]["visual"]["blocks"],
+                            params["clip"]["visual"]["blocks"])
+    # prompts frozen in stage 2... but GPA averages snapshots of the same
+    # frozen values, so they must be unchanged
+    np.testing.assert_allclose(np.asarray(out["prompt1"]["cls_ctx"]),
+                               np.asarray(params["prompt1"]["cls_ctx"]),
+                               atol=1e-6)
+
+
+def test_xbm_ring_buffer():
+    st = X.init_xbm(8, 4)
+    assert not bool(X.xbm_is_full(st))
+    f = jnp.arange(24, dtype=jnp.float32).reshape(6, 4)
+    st, slots = X.xbm_enqueue(st, f, jnp.arange(6))
+    np.testing.assert_array_equal(np.asarray(slots), np.arange(6))
+    assert not bool(X.xbm_is_full(st))
+    st, slots = X.xbm_enqueue(st, f[:4], jnp.arange(4))
+    # wraparound: slots 6,7,0,1
+    np.testing.assert_array_equal(np.asarray(slots), [6, 7, 0, 1])
+    assert bool(X.xbm_is_full(st))
+    feats, labels, valid = X.xbm_get(st)
+    assert bool(valid.all())
+
+
+def test_multitask_cli_hard(tmp_path, monkeypatch):
+    # reuse the CLI asset builder from test_cli
+    from tests.test_cli import assets as _  # noqa: F401  (fixture import)
+    pytest.importorskip("torch")
+    import torch
+    from PIL import Image
+
+    from tpu_reid.cli import multitask as cli
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+    for name in ("Market1501", "DukeMTMC-reID"):
+        base = root / name
+        for sub in ("bounding_box_train", "query", "bounding_box_test"):
+            (base / sub).mkdir(parents=True)
+        for pid, cam, n in [(1, 1, 4), (2, 2, 4)]:
+            for k in range(n):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg")
+        for pid in (1, 2):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
+            for k in range(2):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_test" / f"{pid:04d}_c{1 + k}s1_{k:06d}_00.jpg")
+
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    merges = str(root / "m.gz")
+    write_test_merges(merges, [("p", "h"), ("ph", "o")])
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["multitask", "--root", str(root),
+         "--model_path", ckpt, "--bpe_path", merges,
+         "--variant", "hard", "--height", "32", "--stride", "8",
+         "--bs", "8", "--epochs_stage1", "1", "--epochs_stage2", "1"],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0

@@ -1,0 +1,250 @@
+"""Multitask prompt-learning CLI: two datasets, one shared trunk.
+
+TPU-native equivalent of the three reference multitask entry points:
+  --variant soft      (prompt_learning_multitask.py) — merged label space,
+                      one model over n_cls1+n_cls2 classes
+  --variant hard      (prompt_learning_multitask_hard_sharing.py) — shared
+                      trunk, per-dataset prompt learners/heads/XBM
+  --variant hard_ivlp (prompt_learning_multitask_hard_sharing_ivlp.py) —
+                      + dual text towers and per-dataset resolutions
+
+    python -m tpu_reid.cli.multitask --root /data --variant hard_ivlp \
+        --model_path ViT-B-16.pt --bpe_path bpe.txt.gz \
+        --train_dataset market1501 --train_dataset_multitask dukemtmc
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def params_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="./", type=str)
+    p.add_argument("--bs", default=64, type=int)
+    p.add_argument("--model_path", required=True, type=str)
+    p.add_argument("--bpe_path", required=True, type=str)
+    p.add_argument("--height", default=256, type=int)
+    p.add_argument("--ratio", default=0.5, type=float)
+    p.add_argument("--height_multitask", default=None, type=int)
+    p.add_argument("--ratio_multitask", default=None, type=float)
+    p.add_argument("--stride", default=12, type=int)
+    p.add_argument("--epochs_stage1", default=120, type=int)
+    p.add_argument("--epochs_stage2", default=60, type=int)
+    p.add_argument("--variant", default="hard", type=str,
+                   choices=["soft", "hard", "hard_ivlp"])
+    p.add_argument("--vpt_ctx", default=2, type=int)
+    p.add_argument("--train_dataset", default="market1501", type=str)
+    p.add_argument("--train_dataset_multitask", default="dukemtmc", type=str)
+    p.add_argument("--test_dataset", default=None, type=str)
+    p.add_argument("--save_path", default="./checkpoints", type=str)
+    p.add_argument("--rerank", action="store_true")
+    p.add_argument("--log_dir", default=None, type=str)
+    p.add_argument("--seed", default=0, type=int)
+    return p.parse_args()
+
+
+def main():
+    args = params_parser()
+    args.test_dataset = args.test_dataset or args.train_dataset
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_reid.configs import PromptDesign, vit_b16_reid
+    from tpu_reid.data.datasets import get_dataset, merge_datasets
+    from tpu_reid.data.loader import BatchLoader
+    from tpu_reid.data.sampler import PKSampler
+    from tpu_reid.data.transforms import DevicePreprocess
+    from tpu_reid.models import prompts as P
+    from tpu_reid.models import reid_clip as M
+    from tpu_reid.models.prompts import base_template
+    from tpu_reid.models.tokenizer import ClipTokenizer
+    from tpu_reid.parallel.extract import extract_embeddings, make_extractor
+    from tpu_reid.retrieval import Evaluator
+    from tpu_reid.runtime.observe import MetricLogger
+    from tpu_reid.train import multitask as MT
+    from tpu_reid.train import trainer as TR
+    from tpu_reid.weights.convert import convert_clip, load_state_dict
+
+    log = MetricLogger(args.log_dir)
+    h1, w1 = args.height, int(args.height * args.ratio)
+    h2 = args.height_multitask or args.height
+    w2 = int(h2 * (args.ratio_multitask or args.ratio))
+
+    ds1 = get_dataset(args.root, args.train_dataset)
+    ds2 = get_dataset(args.root, args.train_dataset_multitask)
+    n1, n2 = ds1.num_train_pids, ds2.num_train_pids
+    tokenizer = ClipTokenizer(args.bpe_path)
+    tcfg = TR.TrainConfig(
+        epochs_stage1=args.epochs_stage1, epochs_stage2=args.epochs_stage2
+    )
+    pp1 = DevicePreprocess((h1, w1), "vit")
+    pp2 = DevicePreprocess((h2, w2), "vit")
+    key = jax.random.key(args.seed)
+
+    ivlp = args.variant == "hard_ivlp"
+    design = PromptDesign()
+    if ivlp:
+        design = PromptDesign(
+            trainer="IVLP", vision_depth=12, vision_ctx=args.vpt_ctx,
+            language_depth=12, language_ctx=args.vpt_ctx,
+        )
+    sd = load_state_dict(args.model_path)
+    cfg1, clip_params = convert_clip(
+        sd, image_hw=(h1, w1), stride=args.stride, design=design
+    )
+    if ivlp:
+        from tpu_reid.models.vit import init_vit
+        from tpu_reid.models.text import init_text
+
+        vinit = init_vit(jax.random.key(1), cfg1.vision)
+        clip_params["visual"].setdefault("vpt_shallow", vinit["vpt_shallow"])
+        clip_params["visual"].setdefault("vpt_deep", vinit["vpt_deep"])
+        tinit = init_text(jax.random.key(2), cfg1.text)
+        clip_params["text"].setdefault("vpt_deep", tinit["vpt_deep"])
+
+    def train_batches(dataset, pp, bs, epoch, pk=False, pad_hw=(10, 10)):
+        if pk:
+            labels = [r[1] for r in dataset.train]
+            order = PKSampler(labels, bs, 4, seed=args.seed + epoch).epoch()
+        else:
+            order = "shuffle"
+        loader = BatchLoader(
+            dataset.train, bs, pp.size_hw, order=order,
+            seed=args.seed + epoch, drop_tail=not pk,
+        )
+        k = jax.random.fold_in(key, hash((id(dataset), epoch)) % (1 << 30))
+        for i, b in enumerate(loader):
+            imgs = pp.train_batch(
+                jnp.asarray(b.images), jax.random.fold_in(k, i), pad_hw=pad_hw
+            )
+            yield imgs, jnp.asarray(b.pids), b.valid
+
+    if args.variant == "soft":
+        # merged label space -> the single-task machinery end to end
+        merged = merge_datasets(ds1, ds2)
+        pcfg = (P.PromptLearnerConfig.ivlp(n1 + n2))
+        tokens = tokenizer.tokenize(base_template(args.train_dataset))
+        temb = np.asarray(clip_params["text"]["token_embedding"])[tokens]
+        mcfg = M.ReidModelConfig(mode="ivlp" if ivlp else "coop",
+                                 clip=cfg1, prompt=pcfg)
+        params = M.init_reid_model(
+            jax.random.key(args.seed), mcfg, clip_params, temb, tokens
+        )
+
+        def s1(epoch):
+            loader = BatchLoader(merged.train, args.bs, (h1, w1))
+            for b in loader:
+                yield pp1.eval_batch(jnp.asarray(b.images)), jnp.asarray(b.pids), b.valid
+
+        def s2(epoch):
+            labels = [r[1] for r in merged.train]
+            sampler = PKSampler(labels, args.bs, 4, seed=args.seed + epoch)
+            loader = BatchLoader(merged.train, args.bs, (h1, w1),
+                                 order=sampler.epoch())
+            k = jax.random.fold_in(key, 99 + epoch)
+            for i, b in enumerate(loader):
+                yield (pp1.train_batch(jnp.asarray(b.images),
+                                       jax.random.fold_in(k, i)),
+                       jnp.asarray(b.pids), b.valid)
+
+        with log.phase("stage1"):
+            params = TR.run_stage1(
+                params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
+                log=lambda s: log.log("train", msg=s),
+            )
+        with log.phase("stage2"):
+            params = TR.run_stage2(
+                params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
+                log=lambda s: log.log("train", msg=s),
+            )
+        embed = lambda p, im: M.eval_embed(p, mcfg, im)
+    else:
+        mk_prompt = (P.PromptLearnerConfig.ivlp if ivlp
+                     else P.PromptLearnerConfig.coop)
+        pcfg1, pcfg2 = mk_prompt(n1), mk_prompt(n2)
+        cfg2 = dataclass_replace_vision(cfg1, (h2, w2), args.stride)
+        tok1 = tokenizer.tokenize(base_template(args.train_dataset))
+        tok2 = tokenizer.tokenize(base_template(args.train_dataset_multitask))
+        emb_table = np.asarray(clip_params["text"]["token_embedding"])
+        mcfg = MT.MultitaskModelConfig(
+            variant=args.variant, clip=cfg1, clip2=cfg2,
+            prompt1=pcfg1, prompt2=pcfg2,
+        )
+        params = MT.init_multitask_model(
+            jax.random.key(args.seed), mcfg, clip_params,
+            emb_table[tok1], tok1, emb_table[tok2], tok2,
+        )
+
+        def s1(epoch):
+            return MT.alternate(
+                train_batches(ds1, pp1, args.bs, epoch, pad_hw=(5, 10)),
+                train_batches(ds2, pp2, args.bs, epoch, pad_hw=(5, 10)),
+            )
+
+        def s2(epoch):
+            return MT.chain_tasks(
+                train_batches(ds1, pp1, args.bs, epoch, pk=True),
+                train_batches(ds2, pp2, args.bs, epoch, pk=True),
+            )
+
+        with log.phase("stage1"):
+            params = MT.run_mt_stage1(
+                params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
+                log=lambda s: log.log("train", msg=s),
+            )
+        with log.phase("stage2"):
+            params = MT.run_mt_stage2(
+                params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
+                xbm_capacity=2 * args.bs,
+                log=lambda s: log.log("train", msg=s),
+            )
+        task = 0 if args.test_dataset == args.train_dataset else 1
+        embed = lambda p, im: MT.eval_embed_mt(p, mcfg, task, im)
+
+    with log.phase("test"):
+        test_ds = get_dataset(args.root, args.test_dataset)
+        pp = pp1 if args.test_dataset == args.train_dataset else pp2
+        h, w = pp.size_hw
+        extractor = make_extractor(embed, pp, flip_tta=True)
+        g_feats, g_pids, g_cams, _ = extract_embeddings(
+            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w))
+        )
+        q_feats, q_pids, q_cams, _ = extract_embeddings(
+            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w))
+        )
+        ev = Evaluator(num_query=len(q_pids), max_rank=20, feat_norm=True,
+                       reranking=args.rerank)
+        ev.update(q_feats, q_pids, q_cams)
+        ev.update(g_feats, g_pids, g_cams)
+        cmc, mAP = ev.compute()
+
+    def rank(k):
+        return float(cmc[min(k - 1, len(cmc) - 1)])
+
+    log.log("result", mAP=float(mAP), rank1=rank(1), rank5=rank(5),
+            rank10=rank(10))
+    print(
+        f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
+        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}"
+    )
+    return cmc, mAP
+
+
+def dataclass_replace_vision(cfg, image_hw, stride):
+    """Dataset-2 geometry: same tower, different patch grid."""
+    import dataclasses
+
+    from tpu_reid.configs import VisionConfig
+
+    hg, wg = VisionConfig.grid_for(image_hw, cfg.vision.patch_size, stride)
+    return dataclasses.replace(
+        cfg, vision=dataclasses.replace(cfg.vision, h_grid=hg, w_grid=wg)
+    )
+
+
+if __name__ == "__main__":
+    main()

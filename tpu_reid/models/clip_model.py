@@ -93,18 +93,28 @@ def resize_grid_bicubic(grid: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def resize_pos_embed(
-    posemb: np.ndarray, out_h: int, out_w: int, prefix_tokens: int = 1
+    posemb: np.ndarray,
+    out_h: int,
+    out_w: int,
+    prefix_tokens: int = 1,
+    in_hw: "Optional[tuple[int, int]]" = None,
 ) -> np.ndarray:
-    """Resize a (prefix + g*g, d) positional embedding to a rectangular grid.
+    """Resize a (prefix + h*w, d) positional embedding to a new grid.
 
-    Reference: coop.py:398-414 — CLS row passes through, the square grid is
-    bicubic-resized to (out_h, out_w).
+    Reference: coop.py:398-414 — CLS row passes through, the grid is
+    bicubic-resized to (out_h, out_w). The source grid is assumed square
+    unless `in_hw` gives its rectangular shape.
     """
     posemb = np.asarray(posemb)
     head, grid = posemb[:prefix_tokens], posemb[prefix_tokens:]
-    gs = int(round(math.sqrt(grid.shape[0])))
-    assert gs * gs == grid.shape[0], f"pos embed grid {grid.shape[0]} not square"
-    grid = grid.reshape(gs, gs, -1)
+    if in_hw is None:
+        gs = int(round(math.sqrt(grid.shape[0])))
+        assert gs * gs == grid.shape[0], (
+            f"pos embed grid {grid.shape[0]} not square; pass in_hw"
+        )
+        in_hw = (gs, gs)
+    assert in_hw[0] * in_hw[1] == grid.shape[0]
+    grid = grid.reshape(in_hw[0], in_hw[1], -1)
     grid = resize_grid_bicubic(grid, out_h, out_w)
     grid = grid.reshape(out_h * out_w, -1)
     return np.concatenate([head, grid], axis=0).astype(posemb.dtype)

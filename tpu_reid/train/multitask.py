@@ -1,0 +1,357 @@
+"""Multitask prompt-learning across two datasets (person + person, or
+person + vehicle).
+
+Three reference variants (behavior, not code):
+  * soft sharing (prompt_learning_multitask.py) — ONE model over
+    n_cls1+n_cls2 merged classes; dataset 2's labels offset by n_cls1
+    (:500, :643); stage 1 alternates batches between datasets, stage 2
+    walks both loaders together. Implemented with data.datasets.
+    merge_datasets + the single-task trainers + the `alternate` scheduler.
+  * hard sharing (prompt_learning_multitask_hard_sharing.py) — shared CLIP
+    trunk; per-dataset PromptLearner + Classifier heads; per-dataset XBM
+    with 0.2-weighted memory triplet from epoch >= 10 (:611-618); GPA
+    applied unconditionally in stage 2 (:668-677).
+  * hard sharing IVLP (..._hard_sharing_ivlp.py) — additionally a SECOND
+    text tower (a copy, with its own language VPT, :691-695) and optional
+    per-dataset image resolutions (:619-620). A second positional
+    embedding, bicubic-resized from the shared one, serves dataset 2's
+    grid (divergence note: the reference feeds one pos-embed to both
+    resolutions, which only runs when the resolutions coincide).
+
+Every step alternates datasets and applies a separate optimizer update per
+task batch (reference: :447-539), so each task keeps its own jitted step
+with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_reid.configs import CLIPConfig, VisionConfig
+from tpu_reid.models import heads as H
+from tpu_reid.models import prompts as P
+from tpu_reid.models import text as T
+from tpu_reid.models import vit as V
+from tpu_reid.models.clip_model import resize_pos_embed
+from tpu_reid.train import losses as L
+from tpu_reid.train import optim as O
+from tpu_reid.train import schedules as S
+from tpu_reid.train import xbm as X
+from tpu_reid.train.trainer import TrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MultitaskModelConfig:
+    variant: str  # "hard" | "hard_ivlp"
+    clip: CLIPConfig  # dataset-1 geometry
+    clip2: CLIPConfig  # dataset-2 geometry (may differ in grid only)
+    prompt1: P.PromptLearnerConfig
+    prompt2: P.PromptLearnerConfig
+
+    def __post_init__(self):
+        assert self.variant in ("hard", "hard_ivlp")
+
+    @property
+    def dual_text(self) -> bool:
+        return self.variant == "hard_ivlp"
+
+
+def init_multitask_model(
+    key: jax.Array,
+    cfg: MultitaskModelConfig,
+    clip_params: dict,
+    temb1, tok1, temb2, tok2,
+) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    width = cfg.clip.vision.width
+    params = {
+        "clip": clip_params,
+        "prompt1": P.init_prompt_learner(k1, cfg.prompt1, temb1, tok1),
+        "prompt2": P.init_prompt_learner(k2, cfg.prompt2, temb2, tok2),
+        "head1": H.init_classifier(
+            k3, cfg.prompt1.n_cls, dim_nonproj=width,
+            dim_proj=cfg.clip.embed_dim,
+        ),
+        "head2": H.init_classifier(
+            k4, cfg.prompt2.n_cls, dim_nonproj=width,
+            dim_proj=cfg.clip.embed_dim,
+        ),
+    }
+    if cfg.dual_text:
+        params["text2"] = jax.tree.map(jnp.array, clip_params["text"])
+    g1 = (cfg.clip.vision.h_grid, cfg.clip.vision.w_grid)
+    g2 = (cfg.clip2.vision.h_grid, cfg.clip2.vision.w_grid)
+    if g2 != g1:
+        params["pos_embed2"] = jnp.asarray(
+            resize_pos_embed(
+                np.asarray(clip_params["visual"]["positional_embedding"]),
+                g2[0], g2[1], in_hw=g1,
+            )
+        )
+    return params
+
+
+def _visual_for_task(params: dict, cfg: MultitaskModelConfig, task: int):
+    visual = params["clip"]["visual"]
+    if task == 1 and "pos_embed2" in params:
+        visual = dict(visual)
+        visual["positional_embedding"] = params["pos_embed2"]
+    return visual, (cfg.clip if task == 0 else cfg.clip2).vision
+
+
+def encode_image_mt(params, cfg: MultitaskModelConfig, task: int, images):
+    visual, vcfg = _visual_for_task(params, cfg, task)
+    x11, x12, xproj = V.apply_vit(visual, vcfg, images)
+    return x11[:, 0], x12[:, 0], xproj[:, 0]
+
+
+def encode_text_mt(params, cfg: MultitaskModelConfig, task: int, label):
+    pl = params["prompt1"] if task == 0 else params["prompt2"]
+    pcfg = cfg.prompt1 if task == 0 else cfg.prompt2
+    text_params = (
+        params["text2"] if (task == 1 and cfg.dual_text) else params["clip"]["text"]
+    )
+    prompts, eot = P.apply_prompt_learner(pl, pcfg, label)
+    return T.encode_text_embeddings(text_params, cfg.clip.text, prompts, eot)
+
+
+def all_class_text_features_mt(params, cfg, task: int) -> jax.Array:
+    n = (cfg.prompt1 if task == 0 else cfg.prompt2).n_cls
+    return encode_text_mt(params, cfg, task, jnp.arange(n))
+
+
+def eval_embed_mt(params, cfg, task: int, images) -> jax.Array:
+    _, non_proj, proj = encode_image_mt(params, cfg, task, images)
+    return jnp.concatenate([non_proj, proj], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# trainable partitions
+# ---------------------------------------------------------------------------
+
+
+def mt_stage1_trainable(path: Tuple[str, ...], cfg: MultitaskModelConfig) -> bool:
+    if path[0] in ("prompt1", "prompt2"):
+        return path[-1] == "cls_ctx"
+    if cfg.variant == "hard_ivlp" and any(p.startswith("vpt_") for p in path):
+        return True
+    return False
+
+
+def mt_stage2_trainable(path: Tuple[str, ...], cfg: MultitaskModelConfig) -> bool:
+    if path[0] in ("prompt1", "prompt2"):
+        return False
+    if any(p.startswith("vpt_") for p in path):
+        return False
+    if path[0] in ("head1", "head2") and path[1] in ("bn", "bn_proj") and (
+        path[-1] == "bias"
+    ):
+        return False
+    if path[-1] in ("mean", "var"):
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+
+def make_mt_stage1_step(cfg: MultitaskModelConfig, optimizer, task: int):
+    def loss_fn(trainable, frozen, images, labels):
+        params = O.combine(trainable, frozen)
+        image_features = encode_image_mt(params, cfg, task, images)[2]
+        text_features = encode_text_mt(params, cfg, task, labels)
+        return (
+            L.supcon_loss(image_features, text_features, labels, labels)
+            + L.supcon_loss(text_features, image_features, labels, labels)
+        )
+
+    @jax.jit
+    def step(trainable, frozen, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            trainable, frozen, images, labels
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    return step
+
+
+def make_mt_stage2_step(
+    cfg: MultitaskModelConfig, tcfg: TrainConfig, optimizer, task: int,
+    xbm_weight: float = 0.2,
+):
+    head_key = "head1" if task == 0 else "head2"
+
+    def loss_fn(trainable, frozen, images, labels, text_features, xbm_state,
+                use_xbm):
+        params = O.combine(trainable, frozen)
+        last, non_proj, proj = encode_image_mt(params, cfg, task, images)
+        head = H.apply_classifier(params[head_key], non_proj, proj, train=True)
+        loss = jnp.float32(0.0)
+        for score in (head["logits"], head["logits_proj"]):
+            loss += tcfg.id_loss_weight * L.cross_entropy_label_smooth(
+                score, labels, tcfg.label_smooth_eps
+            )
+        logits = proj.astype(jnp.float32) @ text_features.T.astype(jnp.float32)
+        loss += L.cross_entropy_label_smooth(
+            logits, labels, tcfg.label_smooth_eps
+        )
+        for feat in (last, non_proj, proj):
+            loss += L.triplet_loss(feat, labels, margin=tcfg.triplet_margin)
+
+        # XBM memory triplet (reference enqueues BEFORE mining, so the
+        # current batch is part of the bank; self-slots are excluded)
+        new_xbm, slots = X.xbm_enqueue(xbm_state, proj, labels)
+        bank_f, bank_l, bank_valid = X.xbm_get(new_xbm)
+        xbm_loss = L.triplet_loss_xbm(
+            proj, labels, bank_f, bank_l, margin=None,
+            self_cols=slots, valid_cols=bank_valid,
+        )
+        loss += jnp.where(use_xbm, xbm_weight * xbm_loss, 0.0)
+        return loss, (head["new_stats"], new_xbm)
+
+    @jax.jit
+    def step(trainable, frozen, opt_state, images, labels, text_features,
+             xbm_state, use_xbm):
+        (loss, (bn_stats, new_xbm)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable, frozen, images, labels, text_features, xbm_state, use_xbm)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        frozen = dict(frozen)
+        frozen[head_key] = dict(frozen[head_key])
+        for name in ("bn", "bn_proj"):
+            stats = bn_stats[name]
+            if stats is not None:
+                frozen[head_key][name] = dict(frozen[head_key][name])
+                frozen[head_key][name]["mean"] = stats["mean"]
+                frozen[head_key][name]["var"] = stats["var"]
+        return trainable, frozen, opt_state, new_xbm, loss
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# schedulers over two loaders
+# ---------------------------------------------------------------------------
+
+
+def alternate(it1: Iterable, it2: Iterable) -> Iterator[Tuple[int, object]]:
+    """Strict 1:1 alternation until EITHER iterator is exhausted — the
+    hard-sharing-ivlp `while i <= iter1 and j <= iter2` semantics
+    (reference: ..._hard_sharing_ivlp.py:253)."""
+    a, b = iter(it1), iter(it2)
+    while True:
+        try:
+            yield 0, next(a)
+            yield 1, next(b)
+        except StopIteration:
+            return
+
+
+def chain_tasks(it1: Iterable, it2: Iterable) -> Iterator[Tuple[int, object]]:
+    """zip-style pairing: one batch from each per step pair, stopping at the
+    shorter loader (reference stage 2: zip(dataloader1, dataloader2))."""
+    for b1, b2 in zip(it1, it2):
+        yield 0, b1
+        yield 1, b2
+
+
+# ---------------------------------------------------------------------------
+# epoch loops
+# ---------------------------------------------------------------------------
+
+
+def run_mt_stage1(
+    params: dict,
+    cfg: MultitaskModelConfig,
+    tcfg: TrainConfig,
+    epoch_batches: Callable[[int], Iterable],  # yields (task, (img, lab, valid))
+    epochs: int,
+    log: Callable[[str], None] = print,
+) -> dict:
+    trainable, frozen = O.partition(
+        params, lambda p: mt_stage1_trainable(p, cfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
+    opt_state = optimizer.init(trainable)
+    steps = [
+        make_mt_stage1_step(cfg, optimizer, t) for t in (0, 1)
+    ]
+    gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
+    gpa = None
+    for epoch in range(1, epochs + 1):
+        opt_state = O.set_lr(
+            opt_state, S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
+        )
+        losses = []
+        for task, (images, labels, valid) in epoch_batches(epoch):
+            trainable, opt_state, loss = steps[task](
+                trainable, frozen, opt_state, images, labels
+            )
+            losses.append(float(loss))
+        # GPA tracked + applied for the hard variants unconditionally
+        gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch - 1])
+        if losses:
+            log(f"[mt-stage1] epoch {epoch}/{epochs} loss {np.mean(losses):.4f}")
+    out = O.combine(trainable, frozen)
+    if gpa is not None:
+        out = gpa
+    return out
+
+
+def run_mt_stage2(
+    params: dict,
+    cfg: MultitaskModelConfig,
+    tcfg: TrainConfig,
+    epoch_batches: Callable[[int], Iterable],
+    epochs: int,
+    xbm_capacity: int = 128,
+    xbm_start_epoch: int = 10,
+    log: Callable[[str], None] = print,
+) -> dict:
+    text_features = [
+        jax.lax.stop_gradient(all_class_text_features_mt(params, cfg, t))
+        for t in (0, 1)
+    ]
+    trainable, frozen = O.partition(
+        params, lambda p: mt_stage2_trainable(p, cfg)
+    )
+    optimizer = O.make_stage_optimizer(
+        tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
+    )
+    opt_state = optimizer.init(trainable)
+    steps = [make_mt_stage2_step(cfg, tcfg, optimizer, t) for t in (0, 1)]
+    dim = cfg.clip.embed_dim
+    xbms = [X.init_xbm(xbm_capacity, dim), X.init_xbm(xbm_capacity, dim)]
+
+    gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
+    gpa = None
+    for epoch in range(epochs):
+        opt_state = O.set_lr(
+            opt_state, S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
+        )
+        use_xbm = jnp.asarray(epoch >= xbm_start_epoch)
+        losses = []
+        for task, (images, labels, valid) in epoch_batches(epoch):
+            trainable, frozen, opt_state, xbms[task], loss = steps[task](
+                trainable, frozen, opt_state, images, labels,
+                text_features[task], xbms[task], use_xbm,
+            )
+            losses.append(float(loss))
+        gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
+        if losses:
+            log(f"[mt-stage2] epoch {epoch + 1}/{epochs} loss {np.mean(losses):.4f}")
+    out = O.combine(trainable, frozen)
+    if gpa is not None:
+        out = gpa
+    return out

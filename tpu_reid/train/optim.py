@@ -149,8 +149,17 @@ def gauss_weights(mu: float, sigma: float, max_epochs: int) -> np.ndarray:
 
 
 def gpa_update(gpa_sum, params, weight: float):
-    """Running sum += weight * params (reference: prompt_learning.py:460-466)."""
-    scaled = jax.tree.map(lambda p: p * weight, params)
+    """Running sum += weight * params (reference: prompt_learning.py:460-466).
+
+    Non-float leaves (integer buffers like EOT indices) pass through with
+    their latest value instead of being averaged."""
+
+    def is_float(p):
+        return jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating)
+
+    scaled = jax.tree.map(lambda p: p * weight if is_float(p) else p, params)
     if gpa_sum is None:
         return scaled
-    return jax.tree.map(jnp.add, gpa_sum, scaled)
+    return jax.tree.map(
+        lambda s, p: s + p if is_float(p) else p, gpa_sum, scaled
+    )
