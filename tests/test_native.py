@@ -1,0 +1,102 @@
+"""Native C++ loader tests: build, decode parity vs PIL, resize parity,
+throughput sanity, and BatchLoader integration."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from tpu_reid import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain / libjpeg"
+)
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("jpgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (h, w) in enumerate([(128, 64), (99, 47), (256, 128), (37, 21)]):
+        # smooth-ish content so JPEG round-trip noise stays small
+        base = rng.randint(0, 255, (8, 4, 3), np.uint8)
+        img = np.asarray(
+            Image.fromarray(base).resize((w, h), Image.BILINEAR), np.uint8
+        )
+        p = str(d / f"img{i}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+def test_decode_matches_pil(jpegs):
+    from PIL import Image
+
+    ours = native.decode_jpeg(jpegs[0])
+    ref = np.asarray(Image.open(jpegs[0]).convert("RGB"))
+    assert ours.shape == ref.shape
+    # same libjpeg underneath -> identical pixels
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_resize_matches_pil(jpegs):
+    from PIL import Image
+
+    out = native.decode_resize_batch(jpegs, (64, 32))
+    for i, p in enumerate(jpegs):
+        ref = np.asarray(
+            Image.open(p).convert("RGB").resize((32, 64), Image.BICUBIC),
+            np.float32,
+        )
+        diff = np.abs(out[i].astype(np.float32) - ref)
+        assert diff.mean() < 0.6, f"img {i}: mean diff {diff.mean()}"
+        assert np.percentile(diff, 99) <= 2.0, f"img {i}"
+
+
+def test_failed_decode_zero_fills(jpegs, tmp_path):
+    bad = str(tmp_path / "not_a_jpeg.jpg")
+    with open(bad, "w") as f:
+        f.write("nope")
+    out = native.decode_resize_batch([jpegs[0], bad], (32, 16))
+    assert out[0].any()
+    assert not out[1].any()
+    with pytest.raises(ValueError):
+        native.decode_resize_batch([bad], (32, 16))
+
+
+def test_batch_loader_native_backend(jpegs):
+    from tpu_reid.data.loader import BatchLoader
+
+    records = [(p, i, 0, 0, i) for i, p in enumerate(jpegs)]
+    loader = BatchLoader(records, batch_size=3, size_hw=(64, 32),
+                         backend="native")
+    assert loader._native
+    batches = list(loader)
+    assert batches[0].images.shape == (3, 64, 32, 3)
+    assert batches[0].images.any()
+    # parity with the PIL backend
+    loader_pil = BatchLoader(records, batch_size=3, size_hw=(64, 32),
+                             backend="pil")
+    b_pil = next(iter(loader_pil))
+    diff = np.abs(
+        batches[0].images.astype(np.float32)
+        - b_pil.images.astype(np.float32)
+    )
+    assert diff.mean() < 0.6
+
+
+def test_native_throughput(jpegs):
+    # sanity: native decodes a 256-image batch without pathologic slowness
+    paths = (jpegs * 64)[:256]
+    t0 = time.perf_counter()
+    out = native.decode_resize_batch(paths, (256, 128))
+    dt = time.perf_counter() - t0
+    assert out.shape[0] == 256
+    rate = 256 / dt
+    print(f"native decode+resize: {rate:.0f} img/s")
+    assert rate > 200  # very loose lower bound

@@ -66,6 +66,7 @@ class BatchLoader:
         prefetch: int = 4,
         seed: int = 0,
         drop_tail: bool = False,
+        backend: str = "auto",  # auto | native | pil
     ):
         self.records = list(records)
         self.batch_size = batch_size
@@ -76,6 +77,15 @@ class BatchLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.drop_tail = drop_tail
+        assert backend in ("auto", "native", "pil"), backend
+        self._native = False
+        if transform is None and backend in ("auto", "native"):
+            from tpu_reid import native
+
+            if native.available():
+                self._native = True
+            elif backend == "native":
+                raise native.NativeUnavailable("native loader requested")
 
     def __len__(self) -> int:
         n = len(self.records)
@@ -103,6 +113,19 @@ class BatchLoader:
         images = np.zeros((b, h, w, 3), dtype)
         meta = np.zeros((4, b), np.int32)
         valid = np.zeros((b,), bool)
+
+        if self._native:
+            from tpu_reid import native
+
+            paths = [self.records[i][0] for i in idx]
+            native.decode_resize_batch(
+                paths, self.size_hw, out=images[: len(idx)],
+                n_threads=self.num_workers,
+            )
+            for slot, rec_i in enumerate(idx):
+                meta[:, slot] = self.records[rec_i][1:5]
+                valid[slot] = True
+            return Batch(images, meta[0], meta[1], meta[2], meta[3], valid)
 
         def load(slot: int, rec_i: int):
             rec = self.records[rec_i]
