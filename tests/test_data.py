@@ -343,3 +343,37 @@ def test_batch_loader_transform(market_root):
     )
     b = next(iter(loader))
     assert b.images.dtype == np.float32
+
+
+def test_caption_prompts_tool(attr_mat, tmp_path, monkeypatch):
+    import sys
+
+    from tpu_reid.models.prompts import read_caption_prompts
+    from tpu_reid.tools import caption_prompts as tool
+
+    out = str(tmp_path / "prompts.txt")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["caption_prompts", "--n_cls", "3", "--attributes", attr_mat,
+         "--out", out],
+    )
+    tool.main()
+    prompts = read_caption_prompts(out, 3)
+    assert len(prompts) == 3
+    assert prompts[0].startswith("A photo of")
+
+    out2 = str(tmp_path / "generic.txt")
+    monkeypatch.setattr(
+        sys, "argv", ["caption_prompts", "--n_cls", "5", "--out", out2]
+    )
+    tool.main()
+    assert len(read_caption_prompts(out2, 5)) == 5
+
+
+def test_fetch_model_table():
+    from tpu_reid.weights.fetch import MODELS, available_models
+
+    assert "ViT-B/16" in available_models()
+    for url in MODELS.values():
+        sha = url.split("/")[-2]
+        assert len(sha) == 64  # checksum embedded in every URL
