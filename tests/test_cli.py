@@ -133,3 +133,25 @@ def test_prompt_learning_cli(assets, monkeypatch, tmp_path, mode):
     # checkpoints written
     ckdir = tmp_path / "ckpts" / mode / "market1501"
     assert ckdir.exists() and any(ckdir.iterdir())
+
+
+def test_prompt_learning_resume(assets, monkeypatch, tmp_path):
+    """--resume restores the newest stage checkpoint and skips training."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    argv = [
+        "prompt_learning",
+        "--root", assets["root"],
+        "--model_path", assets["ckpt"],
+        "--bpe_path", assets["merges"],
+        "--height", "32", "--stride", "8", "--bs", "8",
+        "--epochs_stage1", "1", "--epochs_stage2", "1",
+        "--training_mode", "coop",
+        "--save_path", str(tmp_path / "ck"),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    cmc1, mAP1 = cli.main()
+    # resume: both stages already complete -> no retraining, same result
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    cmc2, mAP2 = cli.main()
+    assert abs(mAP1 - mAP2) < 1e-5

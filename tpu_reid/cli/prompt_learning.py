@@ -214,27 +214,38 @@ def main():
     )
     mgr = CheckpointManager(ckpt_dir, save_interval=20)
 
-    with log.phase("stage1"):
-        batches = (
-            stage1_eval_batches
-            if mcfg.mode in ("coop", "adapter")
-            else stage1_batches
-        )
-        params = TR.run_stage1(
-            params, mcfg, tcfg, batches, epochs=args.epochs_stage1,
-            log=lambda s: log.log("train", msg=s),
-        )
-        mgr.save(args.epochs_stage1, {"params": params, "stage": 1})
+    # --resume: restore the newest stage checkpoint and skip completed
+    # stages (the reference has no resume path at all — SURVEY.md §5)
+    done_stage = 0
+    if args.resume and mgr.latest_epoch() is not None:
+        restored = mgr.restore(template={"params": params, "stage": 0})
+        params = restored["params"]
+        done_stage = int(np.asarray(restored["stage"]))
+        log.log("resume", stage=done_stage, epoch=mgr.latest_epoch())
 
-    with log.phase("stage2"):
-        params = TR.run_stage2(
-            params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
-            log=lambda s: log.log("train", msg=s),
-        )
-        mgr.save(
-            args.epochs_stage1 + args.epochs_stage2,
-            {"params": params, "stage": 2},
-        )
+    if done_stage < 1:
+        with log.phase("stage1"):
+            batches = (
+                stage1_eval_batches
+                if mcfg.mode in ("coop", "adapter")
+                else stage1_batches
+            )
+            params = TR.run_stage1(
+                params, mcfg, tcfg, batches, epochs=args.epochs_stage1,
+                log=lambda s: log.log("train", msg=s),
+            )
+            mgr.save(args.epochs_stage1, {"params": params, "stage": 1})
+
+    if done_stage < 2:
+        with log.phase("stage2"):
+            params = TR.run_stage2(
+                params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
+                log=lambda s: log.log("train", msg=s),
+            )
+            mgr.save(
+                args.epochs_stage1 + args.epochs_stage2,
+                {"params": params, "stage": 2},
+            )
 
     with log.phase("test"):
         test_ds = get_dataset(args.root, args.test_dataset)
