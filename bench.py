@@ -31,6 +31,9 @@ def main() -> None:
 
     from __graft_entry__ import _flagship
 
+    from tpu_reid.ops.attention import set_fast_softmax
+
+    set_fast_softmax(True)  # throughput profile (parity evals keep fp32)
     mcfg, params, (h, w) = _flagship()
 
     @jax.jit
