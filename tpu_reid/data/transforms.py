@@ -160,6 +160,8 @@ class DevicePreprocess:
     def eval_batch(self, images_u8: jax.Array) -> jax.Array:
         h, w = self.size_hw
         b = images_u8.shape[0]
+        if images_u8.shape[1:3] == (h, w):
+            return self._normalize(images_u8)  # host already sized the crop
         x = jax.image.resize(
             images_u8.astype(jnp.float32), (b, h, w, 3), method="cubic"
         )
