@@ -53,3 +53,71 @@ def test_rerank_blocks_do_not_change_result():
     a = np.asarray(k_reciprocal_rerank(qf, gf, k1=6, k2=2, row_block=8, q_block=4))
     b = np.asarray(k_reciprocal_rerank(qf, gf, k1=6, k2=2, row_block=64, q_block=64))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_rerank_single_shard_consistent():
+    """One shard == the unsharded core modulo the per-matrix row
+    normalization (a monotone rescale): rankings must agree."""
+    import numpy as np
+
+    from tpu_reid.retrieval.rerank import (
+        k_reciprocal_rerank_sharded,
+    )
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(10, 16).astype(np.float32)
+    q_pids = rng.randint(0, 10, 25)
+    g_pids = rng.randint(0, 10, 70)
+    q = centers[q_pids] + 0.8 * rng.randn(25, 16).astype(np.float32)
+    g = centers[g_pids] + 0.8 * rng.randn(70, 16).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+
+    one = np.asarray(k_reciprocal_rerank_sharded(q, g, k1=10, k2=4,
+                                                 shard_size=1000))
+    assert one.shape == (25, 70)
+    assert np.isfinite(one).all()
+
+    two = np.asarray(k_reciprocal_rerank_sharded(q, g, k1=10, k2=4,
+                                                 shard_size=35))
+    assert two.shape == (25, 70)
+    assert np.isfinite(two).all()
+    # sharded neighborhoods are a documented approximation (each shard sees
+    # a different reciprocal context); what must hold is that the retrieval
+    # QUALITY stays comparable, not elementwise equality
+    from tpu_reid.retrieval import cmc_map
+
+    q_cams = np.arange(25) % 3
+    g_cams = (np.arange(70) + 1) % 3
+    _, map_one = cmc_map(one, q_pids, g_pids, q_cams, g_cams, 10)
+    _, map_two = cmc_map(two, q_pids, g_pids, q_cams, g_cams, 10)
+    assert abs(float(map_one) - float(map_two)) < 0.12
+
+
+def test_sharded_rerank_improves_over_plain_distance():
+    import numpy as np
+
+    from tests import golden
+    from tpu_reid.retrieval import cmc_map
+    from tpu_reid.retrieval.rerank import k_reciprocal_rerank_sharded
+
+    rng = np.random.RandomState(1)
+    n_ids = 12
+    centers = rng.randn(n_ids, 24).astype(np.float32)
+    q_pids = rng.randint(0, n_ids, 40)
+    g_pids = rng.randint(0, n_ids, 120)
+    q = centers[q_pids] + 1.2 * rng.randn(40, 24).astype(np.float32)
+    g = centers[g_pids] + 1.2 * rng.randn(120, 24).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    q_cams = rng.randint(0, 4, 40)
+    g_cams = rng.randint(0, 4, 120)
+
+    plain = ((q ** 2).sum(1)[:, None] + (g ** 2).sum(1)[None, :]
+             - 2 * q @ g.T)
+    _, map_plain = cmc_map(plain, q_pids, g_pids, q_cams, g_cams, 10)
+    rr = np.asarray(k_reciprocal_rerank_sharded(q, g, k1=20, k2=6,
+                                                shard_size=60))
+    _, map_rr = cmc_map(rr, q_pids, g_pids, q_cams, g_cams, 10)
+    # re-ranking should help (or at worst roughly tie) on clustered data
+    assert map_rr > map_plain - 0.02

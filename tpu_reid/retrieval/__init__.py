@@ -1,6 +1,6 @@
 from tpu_reid.retrieval.distance import euclidean_distmat, cosine_distmat, l2_normalize
 from tpu_reid.retrieval.metrics import cmc_map, Evaluator
-from tpu_reid.retrieval.rerank import k_reciprocal_rerank
+from tpu_reid.retrieval.rerank import k_reciprocal_rerank, k_reciprocal_rerank_sharded
 
 __all__ = [
     "euclidean_distmat",
@@ -9,4 +9,5 @@ __all__ = [
     "cmc_map",
     "Evaluator",
     "k_reciprocal_rerank",
+    "k_reciprocal_rerank_sharded",
 ]

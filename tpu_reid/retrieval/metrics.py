@@ -100,6 +100,9 @@ class Evaluator:
         self.feat_norm = feat_norm
         self.reranking = reranking
         self.rerank_params = rerank_params
+        # above this population the exact all-pairs re-rank would not fit
+        # HBM; Evaluator switches to the sharded bounded-memory mode
+        self.rerank_exact_limit = 40_000
         self.reset()
 
     def reset(self) -> None:
@@ -124,10 +127,23 @@ class Evaluator:
         q_camids, g_camids = camids[: self.num_query], camids[self.num_query:]
 
         if self.reranking:
-            from tpu_reid.retrieval.rerank import k_reciprocal_rerank
+            from tpu_reid.retrieval.rerank import (
+                k_reciprocal_rerank,
+                k_reciprocal_rerank_sharded,
+            )
 
             k1, k2, lam = self.rerank_params
-            distmat = k_reciprocal_rerank(qf, gf, k1=k1, k2=k2, lambda_value=lam)
+            n = int(qf.shape[0]) + int(gf.shape[0])
+            if n > self.rerank_exact_limit:
+                # all-pairs (Q+G)^2 matrices would exceed HBM (MSMT17-scale
+                # galleries); fall back to bounded-memory sharded re-ranking
+                distmat = k_reciprocal_rerank_sharded(
+                    qf, gf, k1=k1, k2=k2, lambda_value=lam
+                )
+            else:
+                distmat = k_reciprocal_rerank(
+                    qf, gf, k1=k1, k2=k2, lambda_value=lam
+                )
         else:
             distmat = euclidean_distmat(qf, gf)
 

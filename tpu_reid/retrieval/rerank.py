@@ -39,7 +39,9 @@ def _pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k1", "k2", "kh", "row_block", "q_block")
+    jax.jit,
+    static_argnames=("k1", "k2", "kh", "row_block", "q_block",
+                     "normalize_rows"),
 )
 def _rerank_core(
     qf: jax.Array,
@@ -51,6 +53,7 @@ def _rerank_core(
     kh: int,
     row_block: int,
     q_block: int,
+    normalize_rows: bool = True,
 ) -> jax.Array:
     num_q = qf.shape[0]
     feat = jnp.concatenate([qf, gf], axis=0)
@@ -59,9 +62,13 @@ def _rerank_core(
 
     # Original distance, row-normalized by the per-row max. The reference
     # divides columns by their max and transposes (reranking.py:46); since the
-    # all-pairs matrix is symmetric this is the same thing.
+    # all-pairs matrix is symmetric this is the same thing. Sharded callers
+    # disable the normalization so weights stay comparable across shards.
     dist = euclidean_distmat(feat, feat)
-    od = (dist / jnp.max(dist, axis=0, keepdims=True)).T
+    if normalize_rows:
+        od = (dist / jnp.max(dist, axis=0, keepdims=True)).T
+    else:
+        od = dist
 
     # Top-(k1+1) neighbor lists (self included at rank 0).
     _, rank_k1 = lax.top_k(-od, k1p)  # (n, k1+1)
@@ -143,6 +150,53 @@ def _rerank_core(
 
     final = jaccard * (1.0 - lambda_value) + od[:num_q] * lambda_value
     return final[:, num_q:]
+
+
+def k_reciprocal_rerank_sharded(
+    qf,
+    gf,
+    k1: int = 50,
+    k2: int = 15,
+    lambda_value: float = 0.3,
+    shard_size: int = 16384,
+    row_block: int = 128,
+    q_block: int = 128,
+) -> jax.Array:
+    """Bounded-memory re-ranking for galleries whose all-pairs matrix
+    cannot live in HBM (MSMT17: Q+G ~ 94K -> a 35GB fp32 matrix that the
+    reference's dense numpy path cannot hold either, SURVEY.md §3.4).
+
+    The gallery splits into shards; each shard re-ranks against the full
+    query set with the per-row max-normalization DISABLED, so exp(-dist)
+    weights and the final (1-λ)·jaccard + λ·dist blend stay on one scale
+    across shards and the concatenated rows are directly comparable.
+    Divergence from the exact algorithm: k-reciprocal neighborhoods are
+    computed within (queries + shard), not the full gallery. Exact when the
+    gallery fits one shard (minus the normalization, which is a monotone
+    per-matrix rescale). Callers should pass L2-normalized features.
+    """
+    qf = jnp.asarray(qf, jnp.float32)
+    gf = jnp.asarray(gf, jnp.float32)
+    num_g = gf.shape[0]
+    out = []
+    for s in range(0, num_g, shard_size):
+        g_shard = gf[s : s + shard_size]
+        n = qf.shape[0] + g_shard.shape[0]
+        k1s = min(k1, n - 1)
+        out.append(
+            _rerank_core(
+                qf,
+                g_shard,
+                jnp.float32(lambda_value),
+                k1=k1s,
+                k2=min(k2, n),
+                kh=min(int(np.around(k1s / 2)) + 1, n),
+                row_block=min(row_block, n),
+                q_block=min(q_block, qf.shape[0]),
+                normalize_rows=False,
+            )
+        )
+    return jnp.concatenate(out, axis=1)
 
 
 def k_reciprocal_rerank(
