@@ -112,3 +112,48 @@ def test_ivlp_vpt_keys_consumed():
         params["visual"]["vpt_deep"][1],
         sd["visual.transformer.resblocks.1.VPT_shallow"],
     )
+
+
+def test_rn50_conversion_and_forward():
+    """RN checkpoint: shape inference, weight mapping, zero-shot embed."""
+    rng = np.random.RandomState(3)
+    sd = oracle.make_rn50_state_dict(rng)
+    cfg, params = convert_clip(sd, image_hw=(64, 32))
+    assert cfg.vision is None and cfg.resnet is not None
+    assert cfg.resnet.width == 16
+    assert cfg.resnet.layers == (1, 1, 1, 1)
+    # layer4 stride 1 (ReID variant) -> /16 grid
+    assert (cfg.resnet.h_grid, cfg.resnet.w_grid) == (4, 2)
+    # attnpool pos embed resized from the square 2x2 grid to 4x2
+    assert params["visual"]["attnpool"]["positional_embedding"].shape == (
+        9, 16 * 32,
+    )
+
+    from tpu_reid.models import resnet as R
+
+    images = rng.randn(2, 64, 32, 3).astype(np.float32)
+    x3, x4, xproj = R.apply_resnet(params["visual"], cfg.resnet,
+                                   jnp.asarray(images))
+    assert x4.shape == (2, 4, 2, 16 * 8 * 4)
+    assert xproj.shape == (2, 9, 24)
+    assert np.isfinite(np.asarray(xproj)).all()
+
+    # zero-shot RN embedding head: avg-pooled map + attention-pooled token
+    from tpu_reid.pipelines.zero_shot import make_zeroshot_embed
+
+    embed = make_zeroshot_embed(params, cfg)
+    e = embed(params, jnp.asarray(images))
+    assert e.shape == (2, 16 * 8 * 4 + 24)
+
+
+def test_rn50_bn_stats_loaded():
+    rng = np.random.RandomState(4)
+    sd = oracle.make_rn50_state_dict(rng)
+    cfg, params = convert_clip(sd, image_hw=(64, 32))
+    np.testing.assert_array_equal(
+        params["visual"]["bn1"]["mean"], sd["visual.bn1.running_mean"]
+    )
+    np.testing.assert_array_equal(
+        params["visual"]["layer2"][0]["down_bn"]["var"],
+        sd["visual.layer2.0.downsample.2.running_var"],
+    )

@@ -150,3 +150,80 @@ def make_clip_state_dict(
     sd["logit_scale"] = np.asarray(np.log(1 / 0.07))
 
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def make_rn50_state_dict(
+    rng: np.random.RandomState,
+    *,
+    width=16,
+    layers=(1, 1, 1, 1),
+    grid=2,
+    text_width=128,
+    text_layers=2,
+    vocab=100,
+    context=16,
+    embed_dim=24,
+) -> dict:
+    """Random OpenAI-format CLIP ModifiedResNet state dict (numpy)."""
+    sd = {}
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = rng.randn(cout, cin, k, k) * 0.05
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = 1 + rng.randn(c) * 0.01
+        sd[f"{name}.bias"] = rng.randn(c) * 0.01
+        sd[f"{name}.running_mean"] = rng.randn(c) * 0.01
+        sd[f"{name}.running_var"] = 1 + np.abs(rng.randn(c)) * 0.01
+
+    conv("visual.conv1", 3, width // 2, 3); bn("visual.bn1", width // 2)
+    conv("visual.conv2", width // 2, width // 2, 3); bn("visual.bn2", width // 2)
+    conv("visual.conv3", width // 2, width, 3); bn("visual.bn3", width)
+    cin = width
+    for li, blocks in enumerate(layers):
+        planes = width * (2 ** li)
+        for j in range(blocks):
+            pre = f"visual.layer{li + 1}.{j}"
+            conv(f"{pre}.conv1", cin, planes, 1); bn(f"{pre}.bn1", planes)
+            conv(f"{pre}.conv2", planes, planes, 3); bn(f"{pre}.bn2", planes)
+            conv(f"{pre}.conv3", planes, planes * 4, 1)
+            bn(f"{pre}.bn3", planes * 4)
+            if j == 0 and (li > 0 or cin != planes * 4):
+                # CLIP downsample: [avgpool, conv, bn] -> indices 1, 2
+                conv(f"{pre}.downsample.1", cin, planes * 4, 1)
+                bn(f"{pre}.downsample.2", planes * 4)
+            cin = planes * 4
+    embed = width * 32
+    sd["visual.attnpool.positional_embedding"] = (
+        rng.randn(grid * grid + 1, embed) * 0.05
+    )
+    for p in ("q_proj", "k_proj", "v_proj"):
+        sd[f"visual.attnpool.{p}.weight"] = rng.randn(embed, embed) * 0.05
+        sd[f"visual.attnpool.{p}.bias"] = rng.randn(embed) * 0.01
+    sd["visual.attnpool.c_proj.weight"] = rng.randn(embed_dim, embed) * 0.05
+    sd["visual.attnpool.c_proj.bias"] = rng.randn(embed_dim) * 0.01
+
+    def blocks(prefix, w, n):
+        for i in range(n):
+            pre = f"{prefix}.{i}"
+            sd[f"{pre}.attn.in_proj_weight"] = rng.randn(3 * w, w) * 0.05
+            sd[f"{pre}.attn.in_proj_bias"] = rng.randn(3 * w) * 0.01
+            sd[f"{pre}.attn.out_proj.weight"] = rng.randn(w, w) * 0.05
+            sd[f"{pre}.attn.out_proj.bias"] = rng.randn(w) * 0.01
+            sd[f"{pre}.ln_1.weight"] = 1 + rng.randn(w) * 0.01
+            sd[f"{pre}.ln_1.bias"] = rng.randn(w) * 0.01
+            sd[f"{pre}.ln_2.weight"] = 1 + rng.randn(w) * 0.01
+            sd[f"{pre}.ln_2.bias"] = rng.randn(w) * 0.01
+            sd[f"{pre}.mlp.c_fc.weight"] = rng.randn(4 * w, w) * 0.05
+            sd[f"{pre}.mlp.c_fc.bias"] = rng.randn(4 * w) * 0.01
+            sd[f"{pre}.mlp.c_proj.weight"] = rng.randn(w, 4 * w) * 0.05
+            sd[f"{pre}.mlp.c_proj.bias"] = rng.randn(w) * 0.01
+
+    sd["token_embedding.weight"] = rng.randn(vocab, text_width) * 0.02
+    sd["positional_embedding"] = rng.randn(context, text_width) * 0.01
+    blocks("transformer.resblocks", text_width, text_layers)
+    sd["ln_final.weight"] = 1 + rng.randn(text_width) * 0.01
+    sd["ln_final.bias"] = rng.randn(text_width) * 0.01
+    sd["text_projection"] = rng.randn(text_width, embed_dim) * 0.05
+    sd["logit_scale"] = np.asarray(np.log(1 / 0.07))
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
