@@ -233,6 +233,9 @@ def main():
             params = TR.run_stage1(
                 params, mcfg, tcfg, batches, epochs=args.epochs_stage1,
                 log=lambda s: log.log("train", msg=s),
+                checkpoint_cb=lambda e, p: mgr.maybe_save(
+                    e, {"params": p, "stage": 0}
+                ),
             )
             mgr.save(args.epochs_stage1, {"params": params, "stage": 1})
 
@@ -241,6 +244,9 @@ def main():
             params = TR.run_stage2(
                 params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
                 log=lambda s: log.log("train", msg=s),
+                checkpoint_cb=lambda e, p: mgr.maybe_save(
+                    args.epochs_stage1 + e, {"params": p, "stage": 1}
+                ),
             )
             mgr.save(
                 args.epochs_stage1 + args.epochs_stage2,

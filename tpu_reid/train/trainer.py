@@ -141,10 +141,13 @@ def run_stage1(
     seed: int = 0,
     mesh=None,
     log: Callable[[str], None] = print,
+    checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
 ) -> dict:
     """epoch_batches(epoch) yields (images_u8 or images, labels, valid)
     device-ready batches. Returns trained params (GPA-averaged for
-    promptsrc)."""
+    promptsrc). checkpoint_cb(epoch, params) fires after every epoch —
+    wire CheckpointManager.maybe_save for the reference's every-20-epochs
+    cadence (prompt_learning.py:472-474)."""
     epochs = epochs or tcfg.epochs_stage1
     cached = cfg.mode in ("coop", "adapter")
     trainable, frozen = O.partition(
@@ -198,6 +201,8 @@ def run_stage1(
                 f"[stage1] epoch {epoch}/{epochs} "
                 f"loss {np.mean(losses):.4f} lr {lr:.2e}"
             )
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, O.combine(trainable, frozen))
     out = O.combine(trainable, frozen)
     if cfg.mode == "promptsrc" and gpa is not None:
         out = gpa
@@ -266,6 +271,7 @@ def run_stage2(
     epochs: Optional[int] = None,
     mesh=None,
     log: Callable[[str], None] = print,
+    checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
 ) -> dict:
     epochs = epochs or tcfg.epochs_stage2
     text_features = jax.lax.stop_gradient(
@@ -298,6 +304,8 @@ def run_stage2(
                 f"[stage2] epoch {epoch + 1}/{epochs} "
                 f"loss {np.mean(losses):.4f} lr {lr:.2e}"
             )
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, O.combine(trainable, frozen))
     out = O.combine(trainable, frozen)
     if cfg.mode == "promptsrc" and gpa is not None:
         out = gpa
