@@ -116,7 +116,9 @@ def main():
             dataset.train, bs, pp.size_hw, order=order,
             seed=args.seed + epoch, drop_tail=not pk,
         )
-        k = jax.random.fold_in(key, hash((id(dataset), epoch)) % (1 << 30))
+        # stable per-(dataset, epoch) augmentation stream
+        tag = sum(map(ord, dataset.name)) & 0xFFFF
+        k = jax.random.fold_in(key, (tag << 14) | (epoch & 0x3FFF))
         for i, b in enumerate(loader):
             imgs = pp.train_batch(
                 jnp.asarray(b.images), jax.random.fold_in(k, i), pad_hw=pad_hw

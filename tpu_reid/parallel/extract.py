@@ -66,6 +66,13 @@ def extract_embeddings(
     batches yield objects with .images (B, H, W, 3) uint8 (fixed B), .pids,
     .camids, .seqids, .valid. Features stay in HBM; metadata is host-side.
     """
+    # commit params to device ONCE — numpy leaves passed to a jitted call
+    # re-upload on EVERY invocation (catastrophic over slow links)
+    params = jax.tree.map(jnp.asarray, params)
+    if mesh is not None:
+        from tpu_reid.parallel.mesh import replicated
+
+        params = jax.device_put(params, replicated(mesh))
     feats = []
     pids, camids, seqids = [], [], []
     put = (lambda x: jax.device_put(x, data_sharding(mesh))) if mesh else jnp.asarray

@@ -279,6 +279,7 @@ def run_mt_stage1(
     epochs: int,
     log: Callable[[str], None] = print,
 ) -> dict:
+    params = jax.tree.map(jnp.asarray, params)  # commit to device once
     trainable, frozen = O.partition(
         params, lambda p: mt_stage1_trainable(p, cfg)
     )
@@ -319,6 +320,7 @@ def run_mt_stage2(
     xbm_start_epoch: int = 10,
     log: Callable[[str], None] = print,
 ) -> dict:
+    params = jax.tree.map(jnp.asarray, params)  # commit to device once
     text_features = [
         jax.lax.stop_gradient(all_class_text_features_mt(params, cfg, t))
         for t in (0, 1)

@@ -149,6 +149,7 @@ def run_stage1(
     wire CheckpointManager.maybe_save for the reference's every-20-epochs
     cadence (prompt_learning.py:472-474)."""
     epochs = epochs or tcfg.epochs_stage1
+    params = jax.tree.map(jnp.asarray, params)  # commit to device once
     cached = cfg.mode in ("coop", "adapter")
     trainable, frozen = O.partition(
         params, lambda path: M.stage1_trainable(path, cfg)
@@ -274,6 +275,7 @@ def run_stage2(
     checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
 ) -> dict:
     epochs = epochs or tcfg.epochs_stage2
+    params = jax.tree.map(jnp.asarray, params)  # commit to device once
     text_features = jax.lax.stop_gradient(
         M.all_class_text_features(params, cfg)
     )
