@@ -64,3 +64,74 @@ def test_layers_attention_impl_switch():
     auto = L.multi_head_attention(p["attn"], x, 4)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(auto), atol=1e-6)
     L.set_attention_impl("auto")
+
+
+def test_fused_mha_matches_composition():
+    from tpu_reid.ops.fused_attention import fused_mha
+
+    rng = np.random.RandomState(1)
+    b, s, d, h = 3, 11, 32, 4
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    w_in = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.05)
+    b_in = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.01)
+    w_out = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.05)
+    b_out = jnp.asarray(rng.randn(d).astype(np.float32) * 0.01)
+
+    qkv = x @ w_in + b_in
+    q, k, v = jnp.split(qkv, 3, -1)
+    ref = xla_mha_core(
+        q.reshape(b, s, h, d // h), k.reshape(b, s, h, d // h),
+        v.reshape(b, s, h, d // h),
+    ).reshape(b, s, d) @ w_out + b_out
+
+    out = fused_mha(x, w_in, b_in, w_out, b_out, h, block_b=2,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_fused_mha_causal_mask():
+    from tpu_reid.ops.fused_attention import fused_mha
+
+    rng = np.random.RandomState(2)
+    b, s, d, h = 2, 9, 16, 2
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    w_in = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.05)
+    b_in = jnp.zeros((3 * d,))
+    w_out = jnp.eye(d, dtype=jnp.float32)
+    b_out = jnp.zeros((d,))
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+
+    out = fused_mha(x, w_in, b_in, w_out, b_out, h, mask, block_b=2,
+                    interpret=True)
+    qkv = x @ w_in
+    q, k, v = jnp.split(qkv, 3, -1)
+    ref = xla_mha_core(
+        q.reshape(b, s, h, d // h), k.reshape(b, s, h, d // h),
+        v.reshape(b, s, h, d // h), mask,
+    ).reshape(b, s, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+    # position 0 attends only to itself
+    v0 = v.reshape(b, s, h, d // h)[:, 0].reshape(b, d)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(v0),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mha_batch_padding():
+    """b not divisible by block_b: padded rows must not leak."""
+    from tpu_reid.ops.fused_attention import fused_mha
+
+    rng = np.random.RandomState(3)
+    d, h = 16, 2
+    w_in = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.05)
+    b_in = jnp.zeros((3 * d,))
+    w_out = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.05)
+    b_out = jnp.zeros((d,))
+    x3 = jnp.asarray(rng.randn(3, 7, d).astype(np.float32) * 0.1)
+    out3 = fused_mha(x3, w_in, b_in, w_out, b_out, h, block_b=2,
+                     interpret=True)
+    out1 = fused_mha(x3[:1], w_in, b_in, w_out, b_out, h, block_b=2,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out3[:1]), np.asarray(out1),
+                               atol=2e-5, rtol=1e-4)

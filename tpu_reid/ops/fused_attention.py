@@ -1,0 +1,132 @@
+"""Fully fused multi-head attention: qkv projection + softmax attention +
+output projection in ONE Pallas kernel.
+
+Motivation (measured on v5e, B=512, S=211, ViT-B geometry): the standalone
+Pallas softmax core beats XLA (6.97 vs 7.91 ms/layer) but loses ~6 ms/layer
+to (B,S,H,dh)<->(B,H,S,dh) layout conversion and padding at the kernel
+boundary. Fusing the projections into the kernel removes the boundary
+entirely: activations stay (rows, D)-shaped in VMEM, heads are sliced from
+the lane dimension, and the only HBM traffic is x in / out once plus the
+shared weights per grid step.
+
+Grid: one program per NB batch rows. Weights use constant index maps so
+the pipeline keeps them resident across steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, mask_ref, o_ref, *,
+            s_actual: int, n_heads: int, has_mask: bool):
+    x = x_ref[...]  # (NB, S_pad, D)
+    nb, s_pad, d = x.shape
+    dh = d // n_heads
+    scale = 1.0 / np.sqrt(dh)
+    qkv = lax.dot_general(
+        x, win_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bin_ref[...][None]).astype(x.dtype)  # (NB, S_pad, 3D)
+
+    col = lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
+    outs = []
+    for h in range(n_heads):
+        q = qkv[:, :, h * dh : (h + 1) * dh]
+        k = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        s = lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (NB, S_pad, S_pad)
+        s = jnp.where(col < s_actual, s, -1e30)
+        if has_mask:
+            s = s + mask_ref[...][None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    attn = jnp.concatenate(outs, axis=-1)  # (NB, S_pad, D)
+    proj = lax.dot_general(
+        attn, wout_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (proj + bout_ref[...][None]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "block_b", "interpret")
+)
+def fused_mha(
+    x: jax.Array,  # (B, S, D)
+    w_in: jax.Array,  # (D, 3D)
+    b_in: jax.Array,  # (3D,)
+    w_out: jax.Array,  # (D, D)
+    b_out: jax.Array,  # (D,)
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+    block_b: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    b, s, d = x.shape
+    s_pad = max(_round_up(s, 8), 128)
+    b_pad = _round_up(b, block_b)
+    xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
+    has_mask = mask is not None
+    maskp = (
+        jnp.pad(jnp.maximum(mask.astype(jnp.float32), -1e30),
+                [(0, s_pad - s), (0, s_pad - s)])
+        if has_mask else jnp.zeros((s_pad, s_pad), jnp.float32)
+    )
+    grid = (b_pad // block_b,)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, s_actual=s, n_heads=n_heads, has_mask=has_mask
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * s_pad * d * (4 * d + 2 * s_pad),
+            bytes_accessed=2 * b_pad * s_pad * d * x.dtype.itemsize
+            + 4 * d * d * x.dtype.itemsize,
+            transcendentals=b_pad * n_heads * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(xp, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1), maskp)
+    return out[:b, :s]
