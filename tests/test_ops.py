@@ -6,6 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from tpu_reid.models import layers as L
 from tpu_reid.ops.attention import mha_core, xla_mha_core
 
 
@@ -135,3 +136,31 @@ def test_fused_mha_batch_padding():
                      interpret=True)
     np.testing.assert_allclose(np.asarray(out3[:1]), np.asarray(out1),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_block_matches_residual_block():
+    """ln+attn+residual and ln+mlp+residual kernels == the XLA block."""
+    from tpu_reid.ops.fused_attention import fused_mha, fused_mlp
+
+    rng = np.random.RandomState(4)
+    b, s, d, h = 2, 9, 32, 4
+    p = L.init_block(jax.random.key(1), d, 2)
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+
+    L.set_attention_impl("xla")
+    ref = L.residual_block(p, x, h)
+
+    a, m = p["attn"], p["mlp"]
+    half = fused_mha(
+        x, a["in_proj"]["w"], a["in_proj"]["b"], a["out_proj"]["w"],
+        a["out_proj"]["b"], h,
+        ln_scale=p["ln_1"]["scale"], ln_bias=p["ln_1"]["bias"],
+        block_b=2, interpret=True,
+    )
+    out = fused_mlp(
+        half, p["ln_2"]["scale"], p["ln_2"]["bias"],
+        m["c_fc"]["w"], m["c_fc"]["b"], m["c_proj"]["w"], m["c_proj"]["b"],
+        block_b=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
+                               rtol=1e-4)

@@ -111,7 +111,32 @@ def residual_block(
     n_heads: int,
     mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Pre-norm transformer block: x + attn(ln1 x); x + mlp(ln2 x)."""
+    """Pre-norm transformer block: x + attn(ln1 x); x + mlp(ln2 x).
+
+    On TPU the block runs as exactly two Pallas programs (fused
+    ln+attn+residual, fused ln+mlp+residual) — LN statistics, the softmax,
+    and the 4D-wide MLP hidden tensor never round-trip HBM."""
+    if _use_pallas():
+        from tpu_reid.ops.fused_attention import fused_mha, fused_mlp
+
+        a = p["attn"]
+        x = fused_mha(
+            x,
+            a["in_proj"]["w"].astype(x.dtype),
+            a["in_proj"]["b"].astype(x.dtype),
+            a["out_proj"]["w"].astype(x.dtype),
+            a["out_proj"]["b"].astype(x.dtype),
+            n_heads,
+            mask,
+            ln_scale=p["ln_1"]["scale"],
+            ln_bias=p["ln_1"]["bias"],
+        )
+        m = p["mlp"]
+        return fused_mlp(
+            x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+            m["c_fc"]["w"].astype(x.dtype), m["c_fc"]["b"].astype(x.dtype),
+            m["c_proj"]["w"].astype(x.dtype), m["c_proj"]["b"].astype(x.dtype),
+        )
     x = x + multi_head_attention(p["attn"], layer_norm(p["ln_1"], x), n_heads, mask)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
     return x

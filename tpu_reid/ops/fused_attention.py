@@ -30,9 +30,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, mask_ref, o_ref, *,
-            s_actual: int, n_heads: int, has_mask: bool):
-    x = x_ref[...]  # (NB, S_pad, D)
+def _layer_norm(x, scale, bias, eps=1e-5):
+    """fp32-statistics LayerNorm over the last axis (matches models.layers)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def _kernel(x_ref, ln_s_ref, ln_b_ref, win_ref, bin_ref, wout_ref, bout_ref,
+            mask_ref, o_ref, *, s_actual: int, n_heads: int, has_mask: bool,
+            pre_ln: bool, residual: bool):
+    x_in = x_ref[...]  # (NB, S_pad, D)
+    x = _layer_norm(x_in, ln_s_ref[...], ln_b_ref[...]) if pre_ln else x_in
     nb, s_pad, d = x.shape
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
@@ -73,11 +86,15 @@ def _kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, mask_ref, o_ref, *,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = (proj + bout_ref[...][None]).astype(o_ref.dtype)
+    proj = proj + bout_ref[...][None]
+    if residual:
+        proj = proj + x_in.astype(jnp.float32)
+    o_ref[...] = proj.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "block_b", "interpret")
+    jax.jit,
+    static_argnames=("n_heads", "block_b", "interpret"),
 )
 def fused_mha(
     x: jax.Array,  # (B, S, D)
@@ -87,36 +104,46 @@ def fused_mha(
     b_out: jax.Array,  # (D,)
     n_heads: int,
     mask: Optional[jax.Array] = None,
+    ln_scale: Optional[jax.Array] = None,  # (D,) -> fuse pre-LN + residual
+    ln_bias: Optional[jax.Array] = None,
     block_b: int = 4,
     interpret: bool = False,
 ) -> jax.Array:
+    """Fused attention. With ln_scale/ln_bias the kernel computes the whole
+    pre-norm half-block x + attn(ln(x)); without them, just attn(x)."""
     b, s, d = x.shape
     s_pad = max(_round_up(s, 8), 128)
     b_pad = _round_up(b, block_b)
     xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
     has_mask = mask is not None
+    pre_ln = ln_scale is not None
     maskp = (
         jnp.pad(jnp.maximum(mask.astype(jnp.float32), -1e30),
                 [(0, s_pad - s), (0, s_pad - s)])
         if has_mask else jnp.zeros((s_pad, s_pad), jnp.float32)
     )
+    if not pre_ln:
+        ln_scale = jnp.ones((d,), x.dtype)
+        ln_bias = jnp.zeros((d,), x.dtype)
     grid = (b_pad // block_b,)
+    row = lambda arr: arr.reshape(1, -1)
+    const = lambda i: (0, 0)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, s_actual=s, n_heads=n_heads, has_mask=has_mask
+            _kernel, s_actual=s, n_heads=n_heads, has_mask=has_mask,
+            pre_ln=pre_ln, residual=pre_ln,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, s_pad), const, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -128,5 +155,77 @@ def fused_mha(
             transcendentals=b_pad * n_heads * s_pad * s_pad,
         ),
         interpret=interpret,
-    )(xp, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1), maskp)
+    )(xp, row(ln_scale.astype(x.dtype)), row(ln_bias.astype(x.dtype)),
+      w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1), maskp)
+    return out[:b, :s]
+
+
+# ---------------------------------------------------------------------------
+# fused LN + MLP + residual (the other half-block)
+# ---------------------------------------------------------------------------
+
+
+def _mlp_kernel(x_ref, ln_s_ref, ln_b_ref, wfc_ref, bfc_ref, wpj_ref,
+                bpj_ref, o_ref):
+    x_in = x_ref[...]  # (NB, S_pad, D)
+    x = _layer_norm(x_in, ln_s_ref[...], ln_b_ref[...])
+    h = lax.dot_general(
+        x, wfc_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bfc_ref[...][None]
+    h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU in fp32
+    y = lax.dot_general(
+        h.astype(x.dtype), wpj_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bpj_ref[...][None]
+    o_ref[...] = (y + x_in.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_mlp(
+    x: jax.Array,  # (B, S, D)
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w_fc: jax.Array,  # (D, 4D)
+    b_fc: jax.Array,
+    w_proj: jax.Array,  # (4D, D)
+    b_proj: jax.Array,
+    block_b: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + mlp(ln(x)) — the hidden (NB, S, 4D) tensor never leaves VMEM."""
+    b, s, d = x.shape
+    hid = w_fc.shape[1]
+    s_pad = max(_round_up(s, 8), 128)
+    b_pad = _round_up(b, block_b)
+    xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        _mlp_kernel,
+        grid=(b_pad // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hid), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hid), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * s_pad * d * hid,
+            bytes_accessed=2 * b_pad * s_pad * d * x.dtype.itemsize
+            + 2 * d * hid * x.dtype.itemsize,
+            transcendentals=b_pad * s_pad * hid,
+        ),
+        interpret=interpret,
+    )(xp, ln_scale.astype(x.dtype).reshape(1, -1),
+      ln_bias.astype(x.dtype).reshape(1, -1),
+      w_fc, b_fc.reshape(1, -1), w_proj, b_proj.reshape(1, -1))
     return out[:b, :s]
