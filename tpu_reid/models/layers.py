@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,6 +107,72 @@ def multi_head_attention(
     return linear(p["out_proj"], out.reshape(b, s, d))
 
 
+def _block_xla(p: dict, x: jax.Array, n_heads: int,
+               mask: Optional[jax.Array]) -> jax.Array:
+    """Pure-XLA pre-norm block (also the backward-pass implementation)."""
+    b, s, d = x.shape
+    dh = d // n_heads
+    h = layer_norm(p["ln_1"], x)
+    qkv = linear(p["attn"]["in_proj"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    from tpu_reid.ops import attention as A
+
+    attn = A.xla_mha_core(
+        q.reshape(b, s, n_heads, dh), k.reshape(b, s, n_heads, dh),
+        v.reshape(b, s, n_heads, dh), mask,
+    )
+    x = x + linear(p["attn"]["out_proj"], attn.reshape(b, s, d))
+    return x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+
+
+def _block_fused_impl(p: dict, x: jax.Array, n_heads: int,
+                      mask: Optional[jax.Array]) -> jax.Array:
+    from tpu_reid.ops.fused_attention import fused_mha, fused_mlp
+
+    a = p["attn"]
+    x = fused_mha(
+        x,
+        a["in_proj"]["w"].astype(x.dtype),
+        a["in_proj"]["b"].astype(x.dtype),
+        a["out_proj"]["w"].astype(x.dtype),
+        a["out_proj"]["b"].astype(x.dtype),
+        n_heads,
+        mask,
+        ln_scale=p["ln_1"]["scale"],
+        ln_bias=p["ln_1"]["bias"],
+    )
+    m = p["mlp"]
+    return fused_mlp(
+        x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+        m["c_fc"]["w"].astype(x.dtype), m["c_fc"]["b"].astype(x.dtype),
+        m["c_proj"]["w"].astype(x.dtype), m["c_proj"]["b"].astype(x.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _block_fused(p, x, n_heads, mask):
+    return _block_fused_impl(p, x, n_heads, mask)
+
+
+def _block_fused_fwd(p, x, n_heads, mask):
+    # remat-style: save only (p, x, mask); the backward pass recomputes the
+    # block via the XLA path and differentiates it. Pallas keeps the fast
+    # forward; training carries no fused-kernel residuals in HBM.
+    return _block_fused_impl(p, x, n_heads, mask), (p, x, mask)
+
+
+def _block_fused_bwd(n_heads, res, g):
+    p, x, mask = res
+    _, vjp = jax.vjp(lambda p_, x_: _block_xla(p_, x_, n_heads, mask), p, x)
+    dp, dx = vjp(g)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dp, dx, dmask
+
+
+_block_fused.defvjp(_block_fused_fwd, _block_fused_bwd)
+
+
 def residual_block(
     p: dict,
     x: jax.Array,
@@ -113,33 +181,13 @@ def residual_block(
 ) -> jax.Array:
     """Pre-norm transformer block: x + attn(ln1 x); x + mlp(ln2 x).
 
-    On TPU the block runs as exactly two Pallas programs (fused
+    On TPU the forward runs as exactly two Pallas programs (fused
     ln+attn+residual, fused ln+mlp+residual) — LN statistics, the softmax,
-    and the 4D-wide MLP hidden tensor never round-trip HBM."""
+    and the 4D-wide MLP hidden tensor never round-trip HBM. Gradients flow
+    through a custom VJP that recomputes via the XLA block (remat-style)."""
     if _use_pallas():
-        from tpu_reid.ops.fused_attention import fused_mha, fused_mlp
-
-        a = p["attn"]
-        x = fused_mha(
-            x,
-            a["in_proj"]["w"].astype(x.dtype),
-            a["in_proj"]["b"].astype(x.dtype),
-            a["out_proj"]["w"].astype(x.dtype),
-            a["out_proj"]["b"].astype(x.dtype),
-            n_heads,
-            mask,
-            ln_scale=p["ln_1"]["scale"],
-            ln_bias=p["ln_1"]["bias"],
-        )
-        m = p["mlp"]
-        return fused_mlp(
-            x, p["ln_2"]["scale"], p["ln_2"]["bias"],
-            m["c_fc"]["w"].astype(x.dtype), m["c_fc"]["b"].astype(x.dtype),
-            m["c_proj"]["w"].astype(x.dtype), m["c_proj"]["b"].astype(x.dtype),
-        )
-    x = x + multi_head_attention(p["attn"], layer_norm(p["ln_1"], x), n_heads, mask)
-    x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
-    return x
+        return _block_fused(p, x, n_heads, mask)
+    return _block_xla(p, x, n_heads, mask)
 
 
 def splice_prompt_tokens(
