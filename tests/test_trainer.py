@@ -206,3 +206,58 @@ def test_sharded_stage2_step_8dev():
     assert abs(float(loss) - float(loss1)) < 1e-4
     for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_maple_mode():
+    """MaPLe: shared text ctx + deeper prompts projected into the vision
+    tower; coupling params train in stage 1 and freeze in stage 2."""
+    from tpu_reid.configs import PromptDesign
+
+    design = PromptDesign(trainer="MaPLe", vision_depth=2, vision_ctx=2,
+                          language_depth=2, language_ctx=2, maple_length=2)
+    sd = oracle.make_clip_state_dict(
+        RNG, vision_width=64, vision_layers=2, patch=8, grid=4,
+        text_width=128, text_layers=2, vocab=120, context=12, embed_dim=32,
+    )
+    ccfg, cparams = convert_clip(sd, image_hw=(32, 16), stride=8,
+                                 design=design)
+    pcfg = P.PromptLearnerConfig.ivlp(4)
+    tokens = np.zeros((1, 12), np.int32)
+    tokens[0, 0] = 118
+    tokens[0, 1:10] = RNG.randint(1, 117, 9)
+    tokens[0, 10] = 119
+    temb = np.asarray(cparams["text"]["token_embedding"])[tokens]
+    mcfg = M.ReidModelConfig(mode="maple", clip=ccfg, prompt=pcfg)
+    params = M.init_reid_model(jax.random.key(0), mcfg, cparams, temb, tokens)
+    assert "maple" in params
+    assert params["maple"]["proj"]["w"].shape == (2, 128, 64)
+
+    # vision output depends on the coupling: perturb -> features move.
+    # NOTE: the perturbation must be non-constant per channel — a constant
+    # offset on a prompt token is LayerNorm-invariant and cannot propagate
+    # through attention.
+    images = jnp.asarray(RNG.randn(2, 32, 16, 3).astype(np.float32))
+    e1 = M.eval_embed(params, mcfg, images)
+    noise_key = jax.random.key(42)
+    p2 = jax.tree.map(lambda x: x, params)
+    p2["maple"] = jax.tree.map(
+        lambda x: x + 0.2 * jax.random.normal(noise_key, x.shape, x.dtype),
+        params["maple"],
+    )
+    e2 = M.eval_embed(p2, mcfg, images)
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))
+    # text path consumes the deeper text prompts
+    t1 = M.encode_text_features(params, mcfg, jnp.array([1]))
+    t2 = M.encode_text_features(p2, mcfg, jnp.array([1]))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+    # stage-1 trains maple + cls_ctx; stage-2 freezes both
+    batches = fake_batches(n_cls=4)
+    out = TR.run_stage1(params, mcfg, TR.TrainConfig(),
+                        lambda e: iter(batches), epochs=1, log=lambda s: None)
+    assert not np.allclose(np.asarray(out["maple"]["shared_ctx"]),
+                           np.asarray(params["maple"]["shared_ctx"]))
+    out2 = TR.run_stage2(out, mcfg, TR.TrainConfig(),
+                         lambda e: iter(batches), epochs=1, log=lambda s: None)
+    np.testing.assert_allclose(np.asarray(out2["maple"]["shared_ctx"]),
+                               np.asarray(out["maple"]["shared_ctx"]))

@@ -32,7 +32,7 @@ def params_parser():
     p.add_argument("--save_path", default="./checkpoints", type=str)
     p.add_argument("--vpt_ctx", default=2, type=int)
     p.add_argument("--training_mode", default="ivlp", type=str,
-                   choices=["coop", "ivlp", "promptsrc", "adapter"])
+                   choices=["coop", "ivlp", "promptsrc", "adapter", "maple"])
     p.add_argument("--train_dataset", default="market1501", type=str)
     p.add_argument("--test_dataset", default=None, type=str,
                    help="defaults to --train_dataset")
@@ -66,6 +66,12 @@ def build_model(args, n_cls: int, car_types=None):
         design = PromptDesign(
             trainer="IVLP", vision_depth=12, vision_ctx=args.vpt_ctx,
             language_depth=12, language_ctx=args.vpt_ctx,
+        )
+    elif args.training_mode == "maple":
+        design = PromptDesign(
+            trainer="MaPLe", vision_depth=12, vision_ctx=args.vpt_ctx,
+            language_depth=12, language_ctx=args.vpt_ctx,
+            maple_length=args.vpt_ctx,
         )
     sd = load_state_dict(args.model_path)
     cfg, clip_params = convert_clip(
@@ -120,7 +126,8 @@ def build_model(args, n_cls: int, car_types=None):
     else:
         pcfg = (P.PromptLearnerConfig.coop(n_cls)
                 if args.training_mode in ("coop", "adapter")
-                else P.PromptLearnerConfig.ivlp(n_cls))
+                else P.PromptLearnerConfig.ivlp(n_cls))  # ivlp geometry for
+        # maple too (per-class ctx + coupled deep prompts)
         tokens = tokenizer.tokenize(base_template(args.train_dataset))
     temb = np.asarray(clip_params["text"]["token_embedding"])[tokens]
 

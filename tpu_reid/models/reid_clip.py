@@ -19,6 +19,9 @@ Modes:
   promptsrc — ivlp + frozen zero-shot image tower for L1 distillation
   adapter   — coop + residual Adapter blended into the non-proj feature
               at ratio 0.2 (reference: prompt_learning.py:241-242)
+  maple     — multi-modal coupled prompting: shared text context + deeper
+              text prompts projected into the vision tower per layer
+              (reference: maple.py:647-719, 788-844)
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from tpu_reid.models import prompts as P
 from tpu_reid.models import text as T
 from tpu_reid.models import vit as V
 
-MODES = ("coop", "ivlp", "promptsrc", "adapter")
+MODES = ("coop", "ivlp", "promptsrc", "adapter", "maple")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,11 +88,34 @@ def init_reid_model(
     if cfg.mode == "promptsrc":
         assert zs_visual_params is not None, "promptsrc needs a ZS teacher"
         params["zs_visual"] = zs_visual_params
+    if cfg.mode == "maple":
+        from tpu_reid.models.maple_prompts import init_maple
+
+        d = cfg.clip.text.design
+        params["maple"] = init_maple(
+            jax.random.fold_in(k_ad, 3),
+            n_ctx=max(d.maple_length, d.language_ctx, 1),
+            depth=max(d.language_depth, 1),
+            d_text=cfg.clip.text.width,
+            d_vis=width,
+        )
     return params
 
 
+def _maple_stacks(params: dict, cfg: ReidModelConfig):
+    from tpu_reid.models.maple_prompts import maple_prompt_stacks
+
+    return maple_prompt_stacks(params["maple"], cfg.clip.vision.layers)
+
+
 def _cls_triple(params: dict, cfg: ReidModelConfig, images: jax.Array):
-    x11, x12, xproj = V.apply_vit(params["clip"]["visual"], cfg.clip.vision, images)
+    kw = {}
+    if cfg.mode == "maple":
+        shallow, vdeep, _ = _maple_stacks(params, cfg)
+        kw = {"deep_prompts": vdeep, "shallow_prompt": shallow}
+    x11, x12, xproj = V.apply_vit(
+        params["clip"]["visual"], cfg.clip.vision, images, **kw
+    )
     return x11[:, 0], x12[:, 0], xproj[:, 0]
 
 
@@ -111,8 +137,12 @@ def encode_text_features(
 ) -> jax.Array:
     """Prompt-learner text path (reference: prompt_learning.py:77-86)."""
     prompts, eot = P.apply_prompt_learner(params["prompt_learner"], cfg.prompt, label)
+    kw = {}
+    if cfg.mode == "maple":
+        _, _, tdeep = _maple_stacks(params, cfg)
+        kw = {"deep_prompts": tdeep}
     return T.encode_text_embeddings(
-        params["clip"]["text"], cfg.clip.text, prompts, eot
+        params["clip"]["text"], cfg.clip.text, prompts, eot, **kw
     )
 
 
@@ -173,6 +203,8 @@ def stage1_trainable(path: Tuple[str, ...], cfg: ReidModelConfig) -> bool:
     (reference: prompt_learning.py:396-402)."""
     if path[0] == "prompt_learner":
         return path[-1] == "cls_ctx"  # frozen prefix/suffix/eot stay put
+    if path[0] == "maple":
+        return True  # shared ctx + deeper text prompts + couplings
     if cfg.mode in ("ivlp", "promptsrc"):
         return any(p.startswith("vpt_") for p in path)
     return False
@@ -182,7 +214,7 @@ def stage2_trainable(path: Tuple[str, ...], cfg: ReidModelConfig) -> bool:
     """Stage 2 freezes prompts + VPT, trains the image tower + heads
     (reference: prompt_learning.py:528-543). The text tower is also updated
     by the reference (only prompt_learner/VPT are frozen) — mirrored here."""
-    if path[0] in ("prompt_learner", "zs_visual"):
+    if path[0] in ("prompt_learner", "zs_visual", "maple"):
         return False
     if any(p.startswith("vpt_") for p in path):
         return False

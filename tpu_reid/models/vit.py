@@ -85,13 +85,15 @@ def apply_vit(
     cfg: VisionConfig,
     images: jax.Array,
     deep_prompts: Optional[jax.Array] = None,
+    shallow_prompt: Optional[jax.Array] = None,
     cv_emb: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Forward pass. Returns (x11, x12, xproj) full sequences; callers take
     [:, 0] for the CLS features (reference: prompt_learning.py:114).
 
-    deep_prompts overrides params["vpt_deep"] — MaPLe passes externally
-    projected prompts here (reference: maple.py:809-844).
+    deep_prompts/shallow_prompt override params["vpt_deep"/"vpt_shallow"] —
+    MaPLe passes externally projected prompts here (reference:
+    maple.py:809-844).
     """
     x = patch_embed(params, cfg, images)
     b = x.shape[0]
@@ -104,7 +106,10 @@ def apply_vit(
     x = x + params["positional_embedding"].astype(x.dtype)
 
     if cfg.design.has_vision_prompts:
-        vpt = params["vpt_shallow"].astype(x.dtype)
+        vpt = (
+            shallow_prompt if shallow_prompt is not None
+            else params["vpt_shallow"]
+        ).astype(x.dtype)
         x = jnp.concatenate(
             [x, jnp.broadcast_to(vpt, (b,) + vpt.shape)], axis=1
         )
