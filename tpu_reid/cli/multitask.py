@@ -53,7 +53,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpu_reid.configs import PromptDesign, vit_b16_reid
+    from tpu_reid.configs import PromptDesign
     from tpu_reid.data.datasets import get_dataset, merge_datasets
     from tpu_reid.data.loader import BatchLoader
     from tpu_reid.data.sampler import PKSampler

@@ -17,7 +17,7 @@ import concurrent.futures as cf
 import dataclasses
 import queue
 import threading
-from typing import Callable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 

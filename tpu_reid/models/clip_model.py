@@ -97,7 +97,7 @@ def resize_pos_embed(
     out_h: int,
     out_w: int,
     prefix_tokens: int = 1,
-    in_hw: "Optional[tuple[int, int]]" = None,
+    in_hw: Optional[tuple] = None,
 ) -> np.ndarray:
     """Resize a (prefix + h*w, d) positional embedding to a new grid.
 

@@ -13,7 +13,6 @@ fused encoder call, not a second loader sweep.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Iterable, Optional, Tuple
 
 import jax

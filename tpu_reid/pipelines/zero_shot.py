@@ -17,7 +17,7 @@ Mirrors the reference's zero_shot_learning.py behavior as jitted programs:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

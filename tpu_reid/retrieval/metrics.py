@@ -18,7 +18,7 @@ Protocol recap (must match the reference exactly):
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+
 
 import jax
 import jax.numpy as jnp

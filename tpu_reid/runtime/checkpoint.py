@@ -12,10 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-import numpy as np
-
-
 def _ocp():
     import orbax.checkpoint as ocp
 

@@ -26,14 +26,14 @@ with static shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, Iterator, Optional, Tuple
+from typing import Callable, Iterable, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tpu_reid.configs import CLIPConfig, VisionConfig
+from tpu_reid.configs import CLIPConfig
 from tpu_reid.models import heads as H
 from tpu_reid.models import prompts as P
 from tpu_reid.models import text as T

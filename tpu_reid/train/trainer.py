@@ -28,7 +28,6 @@ epochs, :468); we swap at the end of training.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, Iterable, Optional, Tuple
 
 import jax
