@@ -155,3 +155,25 @@ def test_prompt_learning_resume(assets, monkeypatch, tmp_path):
     monkeypatch.setattr(sys, "argv", argv + ["--resume"])
     cmc2, mAP2 = cli.main()
     assert abs(mAP1 - mAP2) < 1e-5
+
+
+def test_zero_shot_cli_rn50(assets, monkeypatch, tmp_path):
+    """RN50 checkpoint end to end: shape-inferred ModifiedResNet tower."""
+    import torch
+
+    from tpu_reid.cli import zero_shot as cli
+
+    sd = oracle.make_rn50_state_dict(np.random.RandomState(7))
+    ckpt = str(tmp_path / "tiny_rn50.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["zero_shot",
+         "--root", assets["root"],
+         "--model_path", ckpt,
+         "--bpe_path", assets["merges"],
+         "--attributes", assets["attr"],
+         "--height", "64", "--bs", "4"],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0

@@ -129,7 +129,10 @@ def main():
         # merged label space -> the single-task machinery end to end
         merged = merge_datasets(ds1, ds2)
         pcfg = (P.PromptLearnerConfig.ivlp(n1 + n2))
-        tokens = tokenizer.tokenize(base_template(args.train_dataset))
+        tokens = tokenizer.tokenize(
+            base_template(args.train_dataset),
+            context_length=cfg1.text.context_length,
+        )
         temb = np.asarray(clip_params["text"]["token_embedding"])[tokens]
         mcfg = M.ReidModelConfig(mode="ivlp" if ivlp else "coop",
                                  clip=cfg1, prompt=pcfg)
@@ -169,8 +172,11 @@ def main():
                      else P.PromptLearnerConfig.coop)
         pcfg1, pcfg2 = mk_prompt(n1), mk_prompt(n2)
         cfg2 = dataclass_replace_vision(cfg1, (h2, w2), args.stride)
-        tok1 = tokenizer.tokenize(base_template(args.train_dataset))
-        tok2 = tokenizer.tokenize(base_template(args.train_dataset_multitask))
+        ctx_len = cfg1.text.context_length
+        tok1 = tokenizer.tokenize(base_template(args.train_dataset),
+                                  context_length=ctx_len)
+        tok2 = tokenizer.tokenize(base_template(args.train_dataset_multitask),
+                                  context_length=ctx_len)
         emb_table = np.asarray(clip_params["text"]["token_embedding"])
         mcfg = MT.MultitaskModelConfig(
             variant=args.variant, clip=cfg1, clip2=cfg2,

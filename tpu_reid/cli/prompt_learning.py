@@ -122,13 +122,18 @@ def build_model(args, n_cls: int, car_types=None):
         else:
             pcfg = P.PromptLearnerConfig.veri(n_cls)
             texts = veri_templates(car_types, n_cls_ctx=3)
-        tokens = tokenizer.tokenize(texts, truncate=True)
+        tokens = tokenizer.tokenize(
+            texts, context_length=cfg.text.context_length, truncate=True
+        )
     else:
         pcfg = (P.PromptLearnerConfig.coop(n_cls)
                 if args.training_mode in ("coop", "adapter")
                 else P.PromptLearnerConfig.ivlp(n_cls))  # ivlp geometry for
         # maple too (per-class ctx + coupled deep prompts)
-        tokens = tokenizer.tokenize(base_template(args.train_dataset))
+        tokens = tokenizer.tokenize(
+            base_template(args.train_dataset),
+            context_length=cfg.text.context_length,
+        )
     temb = np.asarray(clip_params["text"]["token_embedding"])[tokens]
 
     mcfg = M.ReidModelConfig(

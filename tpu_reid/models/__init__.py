@@ -1,3 +1,25 @@
-from tpu_reid.models import layers, vit, text, clip_model
+from tpu_reid.models import (
+    clip_model,
+    heads,
+    layers,
+    maple_prompts,
+    prompts,
+    reid_clip,
+    resnet,
+    text,
+    tokenizer,
+    vit,
+)
 
-__all__ = ["layers", "vit", "text", "clip_model"]
+__all__ = [
+    "clip_model",
+    "heads",
+    "layers",
+    "maple_prompts",
+    "prompts",
+    "reid_clip",
+    "resnet",
+    "text",
+    "tokenizer",
+    "vit",
+]

@@ -49,9 +49,11 @@ def zeroshot_classifier(
     def encode(tok):
         return _encode(text_params, tok)
 
+    ctx_len = cfg.text.context_length
     if not augmented:
         texts = [templates[c] for c in classnames]
-        tokens = tokenizer.tokenize(texts, truncate=True)
+        tokens = tokenizer.tokenize(texts, context_length=ctx_len,
+                                    truncate=True)
         feats = []
         pad = (-len(texts)) % batch
         tokens = np.concatenate(
@@ -70,7 +72,7 @@ def zeroshot_classifier(
     n_t = len(per_class[0])
     assert all(len(p) == n_t for p in per_class), "ragged template counts"
     flat = [t for ts in per_class for t in ts]
-    tokens = tokenizer.tokenize(flat, truncate=True)
+    tokens = tokenizer.tokenize(flat, context_length=ctx_len, truncate=True)
     pad = (-len(flat)) % batch
     tokens = np.concatenate(
         [tokens, np.zeros((pad, tokens.shape[1]), np.int32)]
