@@ -64,7 +64,10 @@ def set_attention_impl(impl: str) -> None:
 
 def _use_pallas() -> bool:
     if _ATTENTION_IMPL == "auto":
-        return jax.default_backend() == "tpu"
+        # multi-chip: pallas_call does not auto-partition under sharded jit;
+        # until the fused kernels are wrapped in shard_map, "auto" keeps the
+        # XLA path when more than one device is visible (round-2 item)
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     return _ATTENTION_IMPL == "pallas"
 
 
