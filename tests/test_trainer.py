@@ -261,3 +261,28 @@ def test_maple_mode():
                          lambda e: iter(batches), epochs=1, log=lambda s: None)
     np.testing.assert_allclose(np.asarray(out2["maple"]["shared_ctx"]),
                                np.asarray(out["maple"]["shared_ctx"]))
+
+
+def test_sharded_extractor_8dev():
+    """shard_map extraction over the 8-device CPU mesh matches unsharded."""
+    from tpu_reid.data.transforms import DevicePreprocess
+    from tpu_reid.parallel.extract import make_extractor
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mcfg, params = tiny_model("coop")
+    mesh = make_mesh()
+    pp = DevicePreprocess((32, 16), "vit")
+    embed = lambda p, im: M.eval_embed(p, mcfg, im)
+    ex_sharded = make_extractor(embed, pp, mesh=mesh, flip_tta=True,
+                                dtype=jnp.float32)
+    ex_plain = make_extractor(embed, pp, flip_tta=True, dtype=jnp.float32)
+    images = np.random.RandomState(0).randint(
+        0, 255, (16, 32, 16, 3), np.uint8
+    )
+    f_sharded = ex_sharded(
+        replicate(mesh, params), shard_batch(mesh, jnp.asarray(images))
+    )
+    f_plain = ex_plain(params, jnp.asarray(images))
+    np.testing.assert_allclose(
+        np.asarray(f_sharded), np.asarray(f_plain), atol=2e-5, rtol=1e-4
+    )

@@ -64,11 +64,29 @@ def set_attention_impl(impl: str) -> None:
 
 def _use_pallas() -> bool:
     if _ATTENTION_IMPL == "auto":
-        # multi-chip: pallas_call does not auto-partition under sharded jit;
-        # until the fused kernels are wrapped in shard_map, "auto" keeps the
-        # XLA path when more than one device is visible (round-2 item)
+        # multi-chip: pallas_call does not auto-partition under plain sharded
+        # jit; "auto" keeps the XLA path when more than one device is visible.
+        # Mesh-aware callers wrap their compute in shard_map (per-device
+        # local shapes) and opt back in via `attention_impl("pallas")` —
+        # see parallel/extract.py.
         return jax.default_backend() == "tpu" and jax.device_count() == 1
     return _ATTENTION_IMPL == "pallas"
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def attention_impl(impl: str):
+    """Scoped attention-impl override (trace-time): used by shard_map
+    callers where the Pallas kernels see per-device local shapes."""
+    global _ATTENTION_IMPL
+    prev = _ATTENTION_IMPL
+    set_attention_impl(impl)
+    try:
+        yield
+    finally:
+        _ATTENTION_IMPL = prev
 
 
 def multi_head_attention(

@@ -47,11 +47,28 @@ def make_extractor(
 
     if mesh is None:
         return jax.jit(step)
-    return jax.jit(
-        step,
-        in_shardings=(replicated(mesh), data_sharding(mesh)),
-        out_shardings=data_sharding(mesh),
+
+    # shard_map: each device runs the whole step (incl. Pallas kernels,
+    # which do not auto-partition under plain sharded jit) on its local
+    # batch shard; params are replicated, no collectives needed.
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from tpu_reid.models.layers import attention_impl
+
+    def step_local(params, images_u8):
+        # inside shard_map shapes are per-device -> fused kernels are safe
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        with attention_impl(impl):
+            return step(params, images_u8)
+
+    sharded = shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
     )
+    return jax.jit(sharded)
 
 
 def extract_embeddings(
