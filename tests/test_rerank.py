@@ -121,3 +121,32 @@ def test_sharded_rerank_improves_over_plain_distance():
     _, map_rr = cmc_map(rr, q_pids, g_pids, q_cams, g_cams, 10)
     # re-ranking should help (or at worst roughly tie) on clustered data
     assert map_rr > map_plain - 0.02
+
+
+def test_evaluator_auto_switches_to_sharded():
+    import numpy as np
+
+    from tpu_reid.retrieval import Evaluator
+
+    rng = np.random.RandomState(2)
+    centers = rng.randn(8, 16).astype(np.float32)
+    q_pids = rng.randint(0, 8, 20)
+    g_pids = rng.randint(0, 8, 60)
+    qf = centers[q_pids] + rng.randn(20, 16).astype(np.float32)
+    gf = centers[g_pids] + rng.randn(60, 16).astype(np.float32)
+    q_cams = np.arange(20) % 3
+    g_cams = (np.arange(60) + 1) % 3
+
+    ev = Evaluator(num_query=20, max_rank=10, feat_norm=True, reranking=True)
+    ev.rerank_exact_limit = 10  # force the sharded bounded-memory path
+    ev.update(qf, q_pids, q_cams)
+    ev.update(gf, g_pids, g_cams)
+    cmc_sharded, map_sharded = ev.compute()
+
+    ev2 = Evaluator(num_query=20, max_rank=10, feat_norm=True, reranking=True)
+    ev2.update(qf, q_pids, q_cams)
+    ev2.update(gf, g_pids, g_cams)
+    cmc_exact, map_exact = ev2.compute()
+    # both are valid re-ranked evaluations on clustered data
+    assert 0 <= map_sharded <= 1 and 0 <= map_exact <= 1
+    assert abs(float(map_sharded) - float(map_exact)) < 0.15
