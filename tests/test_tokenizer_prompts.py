@@ -168,3 +168,35 @@ def test_veri_template_text():
     assert texts[0].startswith("A photo of X X X sedan red,")
     assert "bus" in texts[1]
     assert texts[2].endswith("background.")
+
+
+def test_augmented_text_encoding_mean_pools():
+    """(B, T, L, D) prompts -> per-template encode -> mean over templates
+    (reference TextEncoderAugmented, text_encoder.py:27-53)."""
+    import tests.torch_oracle as oracle
+    from tpu_reid.models import text as T
+    from tpu_reid.weights.convert import convert_clip
+
+    rng = np.random.RandomState(0)
+    sd = oracle.make_clip_state_dict(rng, vocab=100, context=12)
+    cfg, params = convert_clip(sd, image_hw=(32, 32), stride=8)
+
+    pcfg = P.PromptLearnerConfig.augmented(n_cls=5)
+    emb, tokens = _fake_template(n_templates=4, length=12)
+    pl = P.init_prompt_learner(jax.random.key(0), pcfg, emb[:, :, :128], tokens)
+    # build (B, T, L, D) prompts with the text width
+    rng2 = np.random.RandomState(1)
+    prompts = jnp.asarray(rng2.randn(3, 4, 12, 128).astype(np.float32) * 0.1)
+    eot = jnp.full((3, 4), 10, jnp.int32)
+    out = T.encode_text_embeddings_augmented(
+        params["text"], cfg.text, prompts, eot
+    )
+    assert out.shape == (3, 24)
+    # equals the mean of per-template encodings
+    per = jnp.stack([
+        T.encode_text_embeddings(params["text"], cfg.text, prompts[:, t],
+                                 eot[:, t])
+        for t in range(4)
+    ], axis=1).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(per), atol=1e-5,
+                               rtol=1e-4)

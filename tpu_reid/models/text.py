@@ -97,6 +97,26 @@ def encode_text_embeddings(
     return pool_eot(x, eot_idx, params["text_projection"])
 
 
+def encode_text_embeddings_augmented(
+    params: dict,
+    cfg: TextConfig,
+    prompt_embeddings: jax.Array,
+    eot_idx: jax.Array,
+    deep_prompts: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Augmented-template path: (B, T, L, D) prompt embeddings (one row per
+    article-variant template) -> per-template encode -> mean over the
+    template axis (reference: text_encoder.py:27-53 TextEncoderAugmented).
+
+    eot_idx: (B, T). Vectorized over T instead of the reference's Python
+    loop — one batched program."""
+    b, t, l, d = prompt_embeddings.shape
+    flat = prompt_embeddings.reshape(b * t, l, d)
+    flat_eot = eot_idx.reshape(b * t)
+    feats = encode_text_embeddings(params, cfg, flat, flat_eot, deep_prompts)
+    return feats.reshape(b, t, -1).mean(axis=1)
+
+
 def encode_text_tokens(
     params: dict,
     cfg: TextConfig,
