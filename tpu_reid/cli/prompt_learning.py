@@ -183,24 +183,15 @@ def main():
     key = jax.random.key(args.seed)
 
     def stage1_batches(epoch):
-        # plain-shuffle loader, Pad((10,5)) train transform
-        # (reference: get_loader_train, data_prepare.py:190-198)
+        # stage 1 always consumes the VAL-transform loader — deterministic
+        # resize+normalize, shuffled order — for both the cached and the
+        # live (ivlp/promptsrc) paths (reference: prompt_learning.py:708-710
+        # passes loader_train_val built with the val transform)
+        order = "shuffle" if epoch > 0 else None  # epoch 0 = cached precompute
         loader = BatchLoader(
-            dataset.train, args.bs, (h, w), order="shuffle",
-            seed=args.seed + epoch, drop_tail=True,
+            dataset.train, args.bs, (h, w), order=order,
+            seed=args.seed + epoch, drop_tail=epoch > 0,
         )
-        k = jax.random.fold_in(key, epoch)
-        for i, b in enumerate(loader):
-            imgs = pp.train_batch(
-                jnp.asarray(b.images), jax.random.fold_in(k, i),
-                pad_hw=(5, 10),
-            )
-            yield imgs, jnp.asarray(b.pids), b.valid
-
-    def stage1_eval_batches(epoch):
-        # deterministic transform for the cached-feature precompute
-        # (reference uses the val-transform copy, prompt_learning.py:365-382)
-        loader = BatchLoader(dataset.train, args.bs, (h, w))
         for b in loader:
             yield pp.eval_batch(jnp.asarray(b.images)), jnp.asarray(b.pids), b.valid
 
@@ -237,13 +228,8 @@ def main():
 
     if done_stage < 1:
         with log.phase("stage1"):
-            batches = (
-                stage1_eval_batches
-                if mcfg.mode in ("coop", "adapter")
-                else stage1_batches
-            )
             params = TR.run_stage1(
-                params, mcfg, tcfg, batches, epochs=args.epochs_stage1,
+                params, mcfg, tcfg, stage1_batches, epochs=args.epochs_stage1,
                 log=lambda s: log.log("train", msg=s),
                 checkpoint_cb=lambda e, p: mgr.maybe_save(
                     e, {"params": p, "stage": 0}
