@@ -286,3 +286,20 @@ def test_sharded_extractor_8dev():
     np.testing.assert_allclose(
         np.asarray(f_sharded), np.asarray(f_plain), atol=2e-5, rtol=1e-4
     )
+
+
+def test_stage2_text_tower_not_decayed():
+    """Stage 2 precomputes text features, so the text tower receives no
+    gradient; it must not drift through Adam's coupled weight decay either
+    (the reference's torch Adam skips grad-less params)."""
+    mcfg, params = tiny_model("coop")
+    batches = fake_batches()
+    out = TR.run_stage2(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches), epochs=2,
+        log=lambda s: None,
+    )
+    assert leaves_equal(out["clip"]["text"], params["clip"]["text"])
+    np.testing.assert_allclose(
+        np.asarray(out["clip"]["logit_scale"]),
+        np.asarray(params["clip"]["logit_scale"]),
+    )

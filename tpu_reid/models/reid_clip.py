@@ -216,6 +216,14 @@ def stage2_trainable(path: Tuple[str, ...], cfg: ReidModelConfig) -> bool:
     by the reference (only prompt_learner/VPT are frozen) — mirrored here."""
     if path[0] in ("prompt_learner", "zs_visual", "maple"):
         return False
+    # the text tower takes no gradient in stage 2 (text features are
+    # precomputed constants); leaving it "trainable" would still decay it
+    # through the coupled-L2 Adam, which the reference never does (torch
+    # skips params with grad=None). Same for the unused logit_scale.
+    if path[0] == "clip" and path[1] == "text":
+        return False
+    if path[-1] == "logit_scale":
+        return False
     if any(p.startswith("vpt_") for p in path):
         return False
     # BNNeck bias frozen at zero (reference: utils.py:133)

@@ -147,6 +147,12 @@ def mt_stage1_trainable(path: Tuple[str, ...], cfg: MultitaskModelConfig) -> boo
 def mt_stage2_trainable(path: Tuple[str, ...], cfg: MultitaskModelConfig) -> bool:
     if path[0] in ("prompt1", "prompt2"):
         return False
+    # text towers take no gradient in stage 2 (precomputed text features);
+    # see reid_clip.stage2_trainable for the weight-decay rationale
+    if path[0] == "text2" or (path[0] == "clip" and path[1] == "text"):
+        return False
+    if path[-1] == "logit_scale":
+        return False
     if any(p.startswith("vpt_") for p in path):
         return False
     if path[0] in ("head1", "head2") and path[1] in ("bn", "bn_proj") and (
