@@ -230,6 +230,7 @@ def main():
         with log.phase("stage1"):
             params = TR.run_stage1(
                 params, mcfg, tcfg, stage1_batches, epochs=args.epochs_stage1,
+                batch_size=args.bs,
                 log=lambda s: log.log("train", msg=s),
                 checkpoint_cb=lambda e, p: mgr.maybe_save(
                     e, {"params": p, "stage": 0}

@@ -139,14 +139,16 @@ def run_stage1(
     epochs: Optional[int] = None,
     seed: int = 0,
     mesh=None,
+    batch_size: int = 64,
     log: Callable[[str], None] = print,
     checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
 ) -> dict:
     """epoch_batches(epoch) yields (images_u8 or images, labels, valid)
-    device-ready batches. Returns trained params (GPA-averaged for
-    promptsrc). checkpoint_cb(epoch, params) fires after every epoch —
-    wire CheckpointManager.maybe_save for the reference's every-20-epochs
-    cadence (prompt_learning.py:472-474)."""
+    device-ready batches. batch_size drives the cached-feature path's step
+    size (the reference uses params.bs, prompt_learning.py:379). Returns
+    trained params (GPA-averaged for promptsrc). checkpoint_cb(epoch,
+    params) fires after every epoch — wire CheckpointManager.maybe_save for
+    the reference's every-20-epochs cadence (prompt_learning.py:472-474)."""
     epochs = epochs or tcfg.epochs_stage1
     params = jax.tree.map(jnp.asarray, params)  # commit to device once
     cached = cfg.mode in ("coop", "adapter")
@@ -173,7 +175,7 @@ def run_stage1(
         losses = []
         if cached:
             if bs is None:
-                bs = min(64, n)
+                bs = min(batch_size, n)
             order = rng.permutation(n)
             for i in range(0, n - bs + 1, bs):
                 sel = order[i : i + bs]
