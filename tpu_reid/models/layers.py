@@ -98,10 +98,11 @@ def multi_head_attention(
     """Self-attention over (B, S, D) with a fused qkv projection.
 
     `mask` is additive, shape (S, S) (the CLIP causal text mask) or None.
-    On TPU the whole operation (projections included) runs as one Pallas
-    kernel; elsewhere the XLA einsum path with fp32 softmax.
+    On TPU (bf16 activations) the whole operation (projections included)
+    runs as one Pallas kernel; elsewhere the XLA einsum path with fp32
+    softmax.
     """
-    if _use_pallas():
+    if _use_pallas() and x.dtype == jnp.bfloat16:
         from tpu_reid.ops.fused_attention import fused_mha
 
         return fused_mha(
@@ -128,9 +129,15 @@ def multi_head_attention(
     return linear(p["out_proj"], out.reshape(b, s, d))
 
 
+@functools.partial(jax.checkpoint, static_argnums=(2,))
 def _block_xla(p: dict, x: jax.Array, n_heads: int,
                mask: Optional[jax.Array]) -> jax.Array:
-    """Pure-XLA pre-norm block (also the backward-pass implementation)."""
+    """Pure-XLA pre-norm block (also the backward-pass implementation).
+
+    Rematerialized (jax.checkpoint): full-size training would otherwise
+    hold every block's attention/MLP intermediates for the backward pass —
+    ViT-B/16 at bs=64 fp32 exceeds a v5e's HBM. Matches the fused path's
+    recompute-in-backward behavior; forward-only callers pay nothing."""
     b, s, d = x.shape
     dh = d // n_heads
     h = layer_norm(p["ln_1"], x)
@@ -205,8 +212,12 @@ def residual_block(
     On TPU the forward runs as exactly two Pallas programs (fused
     ln+attn+residual, fused ln+mlp+residual) — LN statistics, the softmax,
     and the 4D-wide MLP hidden tensor never round-trip HBM. Gradients flow
-    through a custom VJP that recomputes via the XLA block (remat-style)."""
-    if _use_pallas():
+    through a custom VJP that recomputes via the XLA block (remat-style).
+
+    The fused path requires bf16 activations: fp32 doubles every VMEM
+    buffer and overflows the 16MB budget at the tuned block size — fp32
+    callers (parity evals, fp32 training) take the XLA path."""
+    if _use_pallas() and x.dtype == jnp.bfloat16:
         return _block_fused(p, x, n_heads, mask)
     return _block_xla(p, x, n_heads, mask)
 
