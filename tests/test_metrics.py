@@ -119,3 +119,38 @@ def test_evaluator_accumulates_batches():
     )
     np.testing.assert_allclose(cmc, want_cmc, atol=1e-5)
     assert mean_ap == pytest.approx(want_map, abs=1e-5)
+
+
+def test_blockwise_topk_matches_full_matrix():
+    import numpy as np
+
+    from tpu_reid.retrieval.topk import blockwise_topk
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(17, 12).astype(np.float32)
+    g = rng.randn(103, 12).astype(np.float32)
+    d, i = blockwise_topk(q, g, k=7, block=16)
+    full = ((q ** 2).sum(1)[:, None] + (g ** 2).sum(1)[None, :]
+            - 2 * q @ g.T)
+    want_i = np.argsort(full, axis=1)[:, :7]
+    want_d = np.take_along_axis(full, want_i, axis=1)
+    np.testing.assert_allclose(np.asarray(d), want_d, atol=1e-3, rtol=1e-4)
+    # indices may differ only at exact-distance ties (none with randoms)
+    np.testing.assert_array_equal(np.asarray(i), want_i)
+
+
+def test_blockwise_topk_edges():
+    import numpy as np
+
+    from tpu_reid.retrieval.topk import blockwise_topk, retrieve
+
+    rng = np.random.RandomState(1)
+    q = rng.randn(3, 8).astype(np.float32)
+    g = rng.randn(5, 8).astype(np.float32)
+    # k > gallery size clamps; block > gallery works
+    d, i = blockwise_topk(q, g, k=50, block=1000)
+    assert d.shape == (3, 5) and i.shape == (3, 5)
+    assert np.isfinite(np.asarray(d)).all()
+    # retrieve() normalized: self-retrieval puts each gallery row first
+    d2, i2 = retrieve(g, g, k=1)
+    np.testing.assert_array_equal(np.asarray(i2)[:, 0], np.arange(5))
