@@ -28,22 +28,17 @@ from tpu_reid.retrieval.distance import euclidean_distmat, l2_normalize
 
 
 @functools.partial(jax.jit, static_argnames=("max_rank",))
-def cmc_map(
+def _cmc_map_stats(
     distmat: jax.Array,
     q_pids: jax.Array,
     g_pids: jax.Array,
     q_camids: jax.Array,
     g_camids: jax.Array,
-    max_rank: int = 50,
-) -> tuple[jax.Array, jax.Array]:
-    """Compute (cmc[max_rank], mAP) on device.
-
-    Vectorized equivalent of the reference loop (evaluate.py:29-88).
-    """
-    num_g = distmat.shape[1]
-    max_rank = min(max_rank, num_g)
-
-    order = jnp.argsort(distmat, axis=1)  # (Q, G)
+    max_rank: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-chunk sufficient statistics: (sum of AP over valid queries,
+    valid-query count, per-rank CMC hit counts)."""
+    order = jnp.argsort(distmat, axis=1)  # (Qc, G)
     g_pid_sorted = jnp.take(g_pids, order)
     g_cam_sorted = jnp.take(g_camids, order)
 
@@ -58,24 +53,72 @@ def cmc_map(
 
     num_rel = jnp.sum(good, axis=1)
     valid = num_rel > 0
-    num_valid = jnp.sum(valid.astype(jnp.float32))
 
-    # Average precision per query: mean over positives of
-    # (rank among kept positives) / (position among kept).
     precision = jnp.where(
         good, match_rank.astype(jnp.float32) / kept_pos.astype(jnp.float32), 0.0
     )
     ap = jnp.sum(precision, axis=1) / jnp.maximum(num_rel, 1).astype(jnp.float32)
-    mean_ap = jnp.sum(jnp.where(valid, ap, 0.0)) / jnp.maximum(num_valid, 1.0)
+    ap_sum = jnp.sum(jnp.where(valid, ap, 0.0))
+    valid_count = jnp.sum(valid.astype(jnp.float32))
 
-    # CMC: position (among kept) of the first kept positive.
     big = jnp.iinfo(jnp.int32).max
-    first_pos = jnp.min(jnp.where(good, kept_pos, big), axis=1)  # (Q,)
+    first_pos = jnp.min(jnp.where(good, kept_pos, big), axis=1)  # (Qc,)
     ranks = jnp.arange(1, max_rank + 1)
     hits = (first_pos[:, None] <= ranks[None, :]) & valid[:, None]
-    cmc = jnp.sum(hits.astype(jnp.float32), axis=0) / jnp.maximum(num_valid, 1.0)
+    hit_counts = jnp.sum(hits.astype(jnp.float32), axis=0)
+    return ap_sum, valid_count, hit_counts
 
-    return cmc, mean_ap
+
+def cmc_map(
+    distmat: jax.Array,
+    q_pids: jax.Array,
+    g_pids: jax.Array,
+    q_camids: jax.Array,
+    g_camids: jax.Array,
+    max_rank: int = 50,
+    q_chunk: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """Compute (cmc[max_rank], mAP) on device, chunked over queries.
+
+    Vectorized equivalent of the reference loop (evaluate.py:29-88). Each
+    query's statistics are independent, so the (Q, G) sort never exists in
+    one buffer — the full MSMT17 matrix breaks the compiler's buffer
+    budget, 2,048-query chunks do not."""
+    distmat = jnp.asarray(distmat)
+    q_pids = jnp.asarray(q_pids)
+    q_camids = jnp.asarray(q_camids)
+    g_pids = jnp.asarray(g_pids)
+    g_camids = jnp.asarray(g_camids)
+    num_q, num_g = distmat.shape
+    max_rank = min(max_rank, num_g)
+
+    ap_sum = 0.0
+    valid_count = 0.0
+    hit_counts = jnp.zeros((max_rank,), jnp.float32)
+    step = min(q_chunk, num_q)
+    for s in range(0, num_q, step):
+        e = min(s + step, num_q)
+        if e - s < step:  # pad the tail chunk to keep one compiled shape
+            pad = step - (e - s)
+            dm = jnp.concatenate(
+                [distmat[s:e], jnp.zeros((pad, num_g), distmat.dtype)]
+            )
+            # padded rows use pid -1: they match nothing -> invalid -> excluded
+            qp = jnp.concatenate(
+                [q_pids[s:e], jnp.full((pad,), -1, q_pids.dtype)]
+            )
+            qc = jnp.concatenate(
+                [q_camids[s:e], jnp.zeros((pad,), q_camids.dtype)]
+            )
+        else:
+            dm, qp, qc = distmat[s:e], q_pids[s:e], q_camids[s:e]
+        a, v, h = _cmc_map_stats(dm, qp, g_pids, qc, g_camids, max_rank)
+        ap_sum = ap_sum + a
+        valid_count = valid_count + v
+        hit_counts = hit_counts + h
+
+    denom = jnp.maximum(valid_count, 1.0)
+    return hit_counts / denom, ap_sum / denom
 
 
 class Evaluator:
