@@ -154,3 +154,25 @@ def test_blockwise_topk_edges():
     # retrieve() normalized: self-retrieval puts each gallery row first
     d2, i2 = retrieve(g, g, k=1)
     np.testing.assert_array_equal(np.asarray(i2)[:, 0], np.arange(5))
+
+
+def test_cmc_map_chunking_invariant():
+    """q_chunk must not change results (incl. padded tail chunks)."""
+    import numpy as np
+
+    from tpu_reid.retrieval.metrics import cmc_map
+
+    rng = np.random.RandomState(3)
+    nq, ng = 23, 40
+    dm = rng.rand(nq, ng).astype(np.float32)
+    q_pids = rng.randint(0, 9, nq)
+    g_pids = rng.randint(0, 9, ng)
+    q_cams = rng.randint(0, 3, nq)
+    g_cams = rng.randint(0, 3, ng)
+    cmc_a, map_a = cmc_map(dm, q_pids, g_pids, q_cams, g_cams, 10,
+                           q_chunk=7)
+    cmc_b, map_b = cmc_map(dm, q_pids, g_pids, q_cams, g_cams, 10,
+                           q_chunk=10_000)
+    np.testing.assert_allclose(np.asarray(cmc_a), np.asarray(cmc_b),
+                               atol=1e-6)
+    assert abs(float(map_a) - float(map_b)) < 1e-6
