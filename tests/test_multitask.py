@@ -87,12 +87,18 @@ def test_hard_sharing_stage1_updates_both_prompts():
         return MT.alternate(batches((32, 16), 5), batches((32, 16), 4))
     out = MT.run_mt_stage1(params, mcfg, TrainConfig(), sched, epochs=2,
                            log=lambda s: None)
-    # GPA averaging is unconditional for hard variants: everything is a
-    # weighted average of epoch snapshots — prompts must have moved
+    # plain hard: NO stage-1 GPA (reference has it commented out,
+    # ..._hard_sharing.py:461-466) — output is the last-epoch weights
     assert not np.allclose(np.asarray(out["prompt1"]["cls_ctx"]),
                            np.asarray(params["prompt1"]["cls_ctx"]))
     assert not np.allclose(np.asarray(out["prompt2"]["cls_ctx"]),
                            np.asarray(params["prompt2"]["cls_ctx"]))
+    # frozen leaves must be bit-identical to the input (a GPA average of
+    # identical snapshots would only match approximately)
+    np.testing.assert_array_equal(
+        np.asarray(out["clip"]["visual"]["proj"]),
+        np.asarray(params["clip"]["visual"]["proj"]),
+    )
 
 
 def test_hard_ivlp_dual_text_and_resolutions():
@@ -244,6 +250,144 @@ def test_multitask_cli_soft(tmp_path, monkeypatch):
          "--model_path", ckpt, "--bpe_path", merges,
          "--variant", "soft", "--height", "32", "--stride", "8",
          "--bs", "8", "--epochs_stage1", "1", "--epochs_stage2", "1"],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
+def test_mt_padded_batch_changes_nothing():
+    """Multitask stage-2 step with a padded batch == the unpadded step:
+    losses, gradients, BN stats, and XBM bank semantics all honor `valid`."""
+    from tpu_reid.train import optim as O
+
+    mcfg, params = build_mt("hard")
+    tcfg = TrainConfig()
+    trainable, frozen = O.partition(
+        params, lambda p: MT.mt_stage2_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage2, bias_lr_mult=2.0)
+    step = MT.make_mt_stage2_step(mcfg, tcfg, optimizer, task=0)
+    text_features = MT.all_class_text_features_mt(params, mcfg, 0)
+
+    rng = np.random.RandomState(7)
+    k = 8
+    images = rng.randn(k, 32, 16, 3).astype(np.float32)
+    labels = np.repeat(rng.choice(5, k // 4, replace=False), 4)
+    pad_img = np.concatenate(
+        [images, 50.0 * rng.randn(4, 32, 16, 3).astype(np.float32)]
+    )
+    pad_lab = np.concatenate([labels, np.zeros(4, labels.dtype)])
+
+    xbm0 = X.init_xbm(16, mcfg.clip.embed_dim)
+    t_ref, f_ref, _, xbm_ref, loss_ref = step(
+        trainable, frozen, optimizer.init(trainable),
+        jnp.asarray(images), jnp.asarray(labels), text_features,
+        xbm0, jnp.asarray(True), jnp.ones((k,), bool),
+    )
+    t_pad, f_pad, _, xbm_pad, loss_pad = step(
+        trainable, frozen, optimizer.init(trainable),
+        jnp.asarray(pad_img), jnp.asarray(pad_lab), text_features,
+        xbm0, jnp.asarray(True), jnp.asarray(np.arange(12) < k),
+    )
+    assert abs(float(loss_ref) - float(loss_pad)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # padded rows are enqueued with label -1 and reported invalid
+    _, lab_pad, valid_pad = X.xbm_get(xbm_pad)
+    assert int(np.asarray(valid_pad).sum()) == k
+    assert (np.asarray(lab_pad)[k:12] == -1).all()
+
+
+def test_mt_xbm_margin_matches_reference():
+    """Both hard-sharing scripts use WeightedRegularizedTripletXBM(0.3) —
+    a margin-ranking loss — not the soft-margin form (reference:
+    ..._hard_sharing.py:574, ..._hard_sharing_ivlp.py:436)."""
+    from tpu_reid.train import losses as L
+
+    rng = np.random.RandomState(1)
+    feat = rng.randn(8, 16).astype(np.float32)
+    labels = np.repeat(np.arange(2), 4)
+    bank = rng.randn(12, 16).astype(np.float32)
+    bank_lab = rng.randint(0, 3, 12)
+    margin03 = float(L.triplet_loss_xbm(
+        jnp.asarray(feat), jnp.asarray(labels), jnp.asarray(bank),
+        jnp.asarray(bank_lab), margin=0.3,
+    ))
+    # torch oracle: MarginRankingLoss(0.3)(d_an, d_ap, 1)
+    import torch
+
+    d = torch.cdist(torch.from_numpy(feat), torch.from_numpy(bank))
+    is_pos = torch.from_numpy(labels)[:, None] == torch.from_numpy(bank_lab)[None, :]
+    d_ap = d.masked_fill(~is_pos, -1e30).max(1).values
+    d_an = d.masked_fill(is_pos, 1e30).min(1).values
+    want = torch.nn.MarginRankingLoss(margin=0.3)(
+        d_an, d_ap, torch.ones_like(d_an)
+    )
+    assert abs(margin03 - float(want)) < 1e-4
+
+
+def test_alternation_semantics():
+    """alternate (AND) stops at the shorter iterator; alternate_longest /
+    chain_tasks_longest (OR) drain both."""
+    a = ["a1", "a2", "a3"]
+    b = ["b1"]
+    assert list(MT.alternate(a, b)) == [(0, "a1"), (1, "b1"), (0, "a2")]
+    assert list(MT.alternate_longest(a, b)) == [
+        (0, "a1"), (1, "b1"), (0, "a2"), (0, "a3")
+    ]
+    assert list(MT.chain_tasks(a, b)) == [(0, "a1"), (1, "b1")]
+    assert list(MT.chain_tasks_longest(a, b)) == [
+        (0, "a1"), (1, "b1"), (0, "a2"), (0, "a3")
+    ]
+
+
+def test_multitask_cli_soft_ivlp(tmp_path, monkeypatch):
+    """soft + --training_mode ivlp: live stage-1 with per-dataset batch
+    alternation and IVLP prompt geometry (reference soft multitask supports
+    coop/promptsrc/ivlp/adapter via --training_mode,
+    prompt_learning_multitask.py:730)."""
+    import torch
+    from PIL import Image
+
+    from tpu_reid.cli import multitask as cli
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+    for name in ("Market1501", "DukeMTMC-reID"):
+        base = root / name
+        for sub in ("bounding_box_train", "query", "bounding_box_test"):
+            (base / sub).mkdir(parents=True)
+        for pid, cam, n in [(1, 1, 4), (2, 2, 4)]:
+            for k in range(n):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg")
+        for pid in (1, 2):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
+            for k in range(2):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_test" / f"{pid:04d}_c{1 + k}s1_{k:06d}_00.jpg")
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    merges = str(root / "m.gz")
+    write_test_merges(merges, [("p", "h")])
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["multitask", "--root", str(root),
+         "--model_path", ckpt, "--bpe_path", merges,
+         "--variant", "soft", "--training_mode", "ivlp",
+         "--height", "32", "--stride", "8",
+         "--bs", "8", "--epochs_stage1", "2", "--epochs_stage2", "1"],
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0

@@ -165,9 +165,23 @@ def test_all_class_prompts():
 
 def test_veri_template_text():
     texts = P.veri_templates(["red sedan", "bus", ""])
-    assert texts[0].startswith("A photo of X X X sedan red,")
+    # color spliced between the X placeholders and the type word, matching
+    # the reference's "A photo of X X X red sedan, ..." (coop.py:136-137)
+    assert texts[0].startswith("A photo of X X X red sedan,")
     assert "bus" in texts[1]
     assert texts[2].endswith("background.")
+
+
+def test_veri_ivlp_template_geometry():
+    """IVLP VeRi: 4 X placeholders, prefix = SOT + 'a photo of' (4 tokens),
+    ctx exactly covers the X's (reference: maple.py:193-231)."""
+    texts = P.veri_templates(["red sedan"], n_cls_ctx=4)
+    assert texts[0].startswith("A photo of X X X X red sedan,")
+    cfg = P.PromptLearnerConfig.veri_ivlp(3)
+    assert cfg.n_prefix == 4 and cfg.n_cls_ctx == 4 and cfg.per_class
+    # each X is a single BPE token: words 4..7 of the template are the X's
+    words = texts[0].split(" ")
+    assert words[3:7] == ["X", "X", "X", "X"]
 
 
 def test_augmented_text_encoding_mean_pools():

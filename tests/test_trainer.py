@@ -195,6 +195,7 @@ def test_sharded_stage2_step_8dev():
         replicate(mesh, opt_state),
         shard_batch(mesh, images), shard_batch(mesh, labels),
         replicate(mesh, text_features),
+        shard_batch(mesh, jnp.ones((16,), bool)),
     )
     assert np.isfinite(float(loss))
     # sharded result equals the single-device step (global-batch semantics)
@@ -303,3 +304,83 @@ def test_stage2_text_tower_not_decayed():
         np.asarray(out["clip"]["logit_scale"]),
         np.asarray(params["clip"]["logit_scale"]),
     )
+
+
+def test_padded_batch_changes_nothing_stage2():
+    """A padded tail batch (valid mask) must produce exactly the update the
+    unpadded batch would: losses honor `valid` and the BNNeck batch stats
+    exclude padded rows (reference semantics = torch's ragged tail batch)."""
+    mcfg, params = tiny_model("coop")
+    tcfg = TR.TrainConfig()
+    text_features = M.all_class_text_features(params, mcfg)
+    trainable, frozen = O.partition(
+        params, lambda p: M.stage2_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage2, bias_lr_mult=2.0)
+    step = TR.make_stage2_step(mcfg, tcfg, optimizer)
+
+    rng = np.random.RandomState(3)
+    k = 8
+    images = rng.randn(k, 32, 16, 3).astype(np.float32)
+    labels = np.repeat(rng.choice(6, k // 4, replace=False), 4)
+    # padded variant: 4 garbage rows appended, masked invalid
+    pad_img = np.concatenate(
+        [images, 100.0 * rng.randn(4, 32, 16, 3).astype(np.float32)]
+    )
+    pad_lab = np.concatenate([labels, np.zeros(4, labels.dtype)])
+    valid = np.arange(12) < k
+
+    t_ref, f_ref, _, loss_ref = step(
+        trainable, frozen, optimizer.init(trainable),
+        jnp.asarray(images), jnp.asarray(labels), text_features,
+        jnp.ones((k,), bool),
+    )
+    t_pad, f_pad, _, loss_pad = step(
+        trainable, frozen, optimizer.init(trainable),
+        jnp.asarray(pad_img), jnp.asarray(pad_lab), text_features,
+        jnp.asarray(valid),
+    )
+    assert abs(float(loss_ref) - float(loss_pad)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # BN running stats identical too (padded rows excluded from batch stats)
+    for name in ("bn", "bn_proj"):
+        for stat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(f_ref["head"][name][stat]),
+                np.asarray(f_pad["head"][name][stat]), atol=1e-4,
+            )
+
+
+def test_padded_batch_changes_nothing_stage1_live():
+    """Same invariance for the live (ivlp) stage-1 SupCon step."""
+    mcfg, params = tiny_model("ivlp")
+    tcfg = TR.TrainConfig()
+    trainable, frozen = O.partition(
+        params, lambda p: M.stage1_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage1)
+    step = TR.make_stage1_step(mcfg, optimizer, cached=False)
+
+    rng = np.random.RandomState(4)
+    k = 8
+    images = rng.randn(k, 32, 16, 3).astype(np.float32)
+    labels = np.repeat(rng.choice(6, k // 4, replace=False), 4)
+    pad_img = np.concatenate(
+        [images, 100.0 * rng.randn(4, 32, 16, 3).astype(np.float32)]
+    )
+    pad_lab = np.concatenate([labels, np.zeros(4, labels.dtype)])
+
+    t_ref, _, loss_ref = step(
+        trainable, frozen, optimizer.init(trainable),
+        {"images": jnp.asarray(images), "labels": jnp.asarray(labels),
+         "valid": jnp.ones((k,), bool)},
+    )
+    t_pad, _, loss_pad = step(
+        trainable, frozen, optimizer.init(trainable),
+        {"images": jnp.asarray(pad_img), "labels": jnp.asarray(pad_lab),
+         "valid": jnp.asarray(np.arange(12) < k)},
+    )
+    assert abs(float(loss_ref) - float(loss_pad)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -35,6 +35,11 @@ def params_parser():
     p.add_argument("--epochs_stage2", default=60, type=int)
     p.add_argument("--variant", default="hard", type=str,
                    choices=["soft", "hard", "hard_ivlp"])
+    p.add_argument("--training_mode", default="coop", type=str,
+                   choices=["coop", "ivlp", "promptsrc", "adapter"],
+                   help="soft variant only (reference: "
+                        "prompt_learning_multitask.py:730); hard variants "
+                        "fix their mode (coop / ivlp)")
     p.add_argument("--vpt_ctx", default=2, type=int)
     p.add_argument("--train_dataset", default="market1501", type=str)
     p.add_argument("--train_dataset_multitask", default="dukemtmc", type=str)
@@ -54,7 +59,7 @@ def main():
     import jax.numpy as jnp
 
     from tpu_reid.configs import PromptDesign
-    from tpu_reid.data.datasets import get_dataset, merge_datasets
+    from tpu_reid.data.datasets import get_dataset
     from tpu_reid.data.loader import BatchLoader
     from tpu_reid.data.sampler import PKSampler
     from tpu_reid.data.transforms import DevicePreprocess
@@ -85,7 +90,13 @@ def main():
     pp2 = DevicePreprocess((h2, w2), "vit")
     key = jax.random.key(args.seed)
 
-    ivlp = args.variant == "hard_ivlp"
+    # prompt design: hard variants fix their mode; the soft variant follows
+    # --training_mode (reference: prompt_learning_multitask.py:752-772)
+    if args.variant == "soft":
+        soft_mode = args.training_mode
+    else:
+        soft_mode = None
+    ivlp = args.variant == "hard_ivlp" or soft_mode in ("ivlp", "promptsrc")
     design = PromptDesign()
     if ivlp:
         design = PromptDesign(
@@ -126,39 +137,82 @@ def main():
             yield imgs, jnp.asarray(b.pids), b.valid
 
     if args.variant == "soft":
-        # merged label space -> the single-task machinery end to end
-        merged = merge_datasets(ds1, ds2)
-        pcfg = (P.PromptLearnerConfig.ivlp(n1 + n2))
+        # ONE model over n1+n2 merged classes; dataset-2 labels offset by n1
+        # (reference: prompt_learning_multitask.py:500,643). Geometry follows
+        # the mode: coop/adapter use the CoOp splice (prefix 4, ctx 5),
+        # ivlp/promptsrc the IVLP splice (reference: :61 PromptLearnerCoop
+        # vs :295 VLPromptLearner).
+        mode = soft_mode
+        pcfg = (P.PromptLearnerConfig.coop(n1 + n2)
+                if mode in ("coop", "adapter")
+                else P.PromptLearnerConfig.ivlp(n1 + n2))
         tokens = tokenizer.tokenize(
             base_template(args.train_dataset),
             context_length=cfg1.text.context_length,
         )
         temb = np.asarray(clip_params["text"]["token_embedding"])[tokens]
-        mcfg = M.ReidModelConfig(mode="ivlp" if ivlp else "coop",
-                                 clip=cfg1, prompt=pcfg)
+        mcfg = M.ReidModelConfig(mode=mode, clip=cfg1, prompt=pcfg)
+        zs = None
+        if mode == "promptsrc":
+            # frozen ZS teacher = copy of the pretrained tower (the working
+            # reference construction, prompt_learning_multitask.py:760-771)
+            zs = jax.tree.map(jnp.array, clip_params["visual"])
         params = M.init_reid_model(
-            jax.random.key(args.seed), mcfg, clip_params, temb, tokens
+            jax.random.key(args.seed), mcfg, clip_params, temb, tokens,
+            zs_visual_params=zs,
         )
+        n_ds1 = len(ds1.train)
+
+        def eval_batches(records, offset, epoch):
+            # stage-1 val-transform loader: deterministic resize+normalize,
+            # shuffled each epoch (reference: data_prepare.py:211-217)
+            order = "shuffle" if epoch > 0 else None  # epoch 0 = precompute
+            loader = BatchLoader(records, args.bs, (h1, w1), order=order,
+                                 seed=args.seed + 7919 * epoch)
+            for b in loader:
+                yield (pp1.eval_batch(jnp.asarray(b.images)),
+                       jnp.asarray(b.pids) + offset, b.valid)
 
         def s1(epoch):
-            loader = BatchLoader(merged.train, args.bs, (h1, w1))
-            for b in loader:
-                yield pp1.eval_batch(jnp.asarray(b.images)), jnp.asarray(b.pids), b.valid
+            gens = (eval_batches(ds1.train, 0, epoch),
+                    eval_batches(ds2.train, n1, epoch))
+            if epoch == 0:  # cache-precompute sweep: ds1 rows then ds2 rows
+                for g in gens:
+                    yield from g
+                return
+            # per-step dataset alternation, draining both loaders
+            # (reference: prompt_learning_multitask.py:477-503 cnt toggle)
+            for _task, b in MT.alternate_longest(*gens):
+                yield b
+
+        def cached_order(epoch, labels):
+            # the coop/adapter cached path's per-dataset alternation: shuffle
+            # within each dataset's cache span, then interleave batches
+            rng = np.random.default_rng((args.seed << 16) + epoch)
+            i1 = rng.permutation(n_ds1)
+            i2 = n_ds1 + rng.permutation(len(labels) - n_ds1)
+            b1 = [i1[i:i + args.bs] for i in range(0, len(i1), args.bs)]
+            b2 = [i2[i:i + args.bs] for i in range(0, len(i2), args.bs)]
+            return [b for _t, b in MT.alternate_longest(b1, b2)]
+
+        def offset_pids(gen, offset):
+            for imgs, pids, valid in gen:
+                yield imgs, pids + offset, valid
 
         def s2(epoch):
-            labels = [r[1] for r in merged.train]
-            sampler = PKSampler(labels, args.bs, 4, seed=args.seed + epoch)
-            loader = BatchLoader(merged.train, args.bs, (h1, w1),
-                                 order=sampler.epoch())
-            k = jax.random.fold_in(key, 99 + epoch)
-            for i, b in enumerate(loader):
-                yield (pp1.train_batch(jnp.asarray(b.images),
-                                       jax.random.fold_in(k, i)),
-                       jnp.asarray(b.pids), b.valid)
+            # per-dataset PK loaders walked together, longer one drains
+            # (reference: prompt_learning_multitask.py:629 zip_longest)
+            g1 = train_batches(ds1, pp1, args.bs, epoch, pk=True)
+            g2 = offset_pids(
+                train_batches(ds2, pp1, args.bs, epoch, pk=True), n1
+            )
+            for _task, b in MT.chain_tasks_longest(g1, g2):
+                yield b
 
         with log.phase("stage1"):
             params = TR.run_stage1(
                 params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
+                batch_size=args.bs, cached_order=cached_order,
                 log=lambda s: log.log("train", msg=s),
             )
         with log.phase("stage2"):
@@ -187,17 +241,34 @@ def main():
             emb_table[tok1], tok1, emb_table[tok2], tok2,
         )
 
-        def s1(epoch):
-            return MT.alternate(
-                train_batches(ds1, pp1, args.bs, epoch, pad_hw=(5, 10)),
-                train_batches(ds2, pp2, args.bs, epoch, pad_hw=(5, 10)),
+        def eval_batches_mt(dataset, pp, epoch):
+            # stage 1 consumes the val-transform loader — deterministic
+            # resize+normalize, shuffled order (reference:
+            # data_prepare.py:211-217, ..._hard_sharing.py:248-264)
+            loader = BatchLoader(
+                dataset.train, args.bs, pp.size_hw, order="shuffle",
+                seed=args.seed + 7919 * epoch,
             )
+            for b in loader:
+                yield (pp.eval_batch(jnp.asarray(b.images)),
+                       jnp.asarray(b.pids), b.valid)
+
+        def s1(epoch):
+            # plain hard drains both loaders (`or`); ivlp stops at the
+            # shorter (`and`) — reference: ..._hard_sharing.py:331 vs
+            # ..._hard_sharing_ivlp.py:253
+            alt = (MT.alternate if args.variant == "hard_ivlp"
+                   else MT.alternate_longest)
+            return alt(eval_batches_mt(ds1, pp1, epoch),
+                       eval_batches_mt(ds2, pp2, epoch))
 
         def s2(epoch):
-            return MT.chain_tasks(
-                train_batches(ds1, pp1, args.bs, epoch, pk=True),
-                train_batches(ds2, pp2, args.bs, epoch, pk=True),
-            )
+            # plain hard: zip_longest; ivlp: zip (reference:
+            # ..._hard_sharing.py:592 vs ..._hard_sharing_ivlp.py:452)
+            pair = (MT.chain_tasks if args.variant == "hard_ivlp"
+                    else MT.chain_tasks_longest)
+            return pair(train_batches(ds1, pp1, args.bs, epoch, pk=True),
+                        train_batches(ds2, pp2, args.bs, epoch, pk=True))
 
         with log.phase("stage1"):
             params = MT.run_mt_stage1(

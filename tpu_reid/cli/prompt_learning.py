@@ -115,9 +115,7 @@ def build_model(args, n_cls: int, car_types=None):
     tokenizer = ClipTokenizer(args.bpe_path)
     if args.train_dataset == "veri" and car_types is not None:
         if args.training_mode in ("ivlp", "promptsrc"):
-            pcfg = P.PromptLearnerConfig(
-                n_cls, n_prefix=5, n_cls_ctx=4, per_class=True
-            )
+            pcfg = P.PromptLearnerConfig.veri_ivlp(n_cls)
             texts = veri_templates(car_types, n_cls_ctx=4)
         else:
             pcfg = P.PromptLearnerConfig.veri(n_cls)

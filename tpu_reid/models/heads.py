@@ -30,11 +30,11 @@ def init_bnneck(dim: int) -> dict:
 
 
 def apply_bnneck(
-    p: dict, x: jax.Array, train: bool = False
+    p: dict, x: jax.Array, train: bool = False, valid=None
 ) -> Tuple[jax.Array, Optional[dict]]:
     """BatchNorm1d over (B, D). The bias entry is kept frozen at zero by the
     trainer's param filter (see train/optim.py), matching the reference."""
-    return batch_norm(p, x, train=train)
+    return batch_norm(p, x, train=train, valid=valid)
 
 
 def init_classifier_head(key: jax.Array, dim: int, n_classes: int) -> dict:
@@ -62,11 +62,14 @@ def init_classifier(
 
 
 def apply_classifier(
-    p: dict, feat: jax.Array, feat_proj: jax.Array, train: bool = False
+    p: dict, feat: jax.Array, feat_proj: jax.Array, train: bool = False,
+    valid=None,
 ) -> dict:
     """Returns dict with post-BN features and ID logits for both levels."""
-    bn_feat, bn_stats = apply_bnneck(p["bn"], feat, train)
-    bn_proj, bn_proj_stats = apply_bnneck(p["bn_proj"], feat_proj, train)
+    bn_feat, bn_stats = apply_bnneck(p["bn"], feat, train, valid=valid)
+    bn_proj, bn_proj_stats = apply_bnneck(
+        p["bn_proj"], feat_proj, train, valid=valid
+    )
     return {
         "bn_feat": bn_feat,
         "bn_feat_proj": bn_proj,

@@ -97,9 +97,10 @@ def veri_templates(car_types: Sequence[str], n_cls_ctx: int = 3) -> list[str]:
     for car_type in car_types:
         parts = car_type.split(" ")
         desc = CAR_TYPE_EXPLANATION.get(parts[-1], "vehicle.")
-        if len(parts) == 2:  # "<color> <type>"
-            first_word, rest = desc.split(",", 1) if "," in desc else (desc, "")
-            desc = f"{first_word} {parts[0]},{rest}" if rest else f"{desc} {parts[0]}"
+        if len(parts) == 2:  # "<color> <type>" -> "... X X red sedan, ..."
+            # the color is spliced between the X placeholders and the type
+            # word (reference: coop.py:136-137, maple.py:195-196)
+            desc = f"{parts[0]} {desc}"
         out.append(f"A photo of X {xs} {desc}".replace("_", " "))
     return out
 
@@ -145,6 +146,13 @@ class PromptLearnerConfig:
     @staticmethod
     def veri(n_cls: int) -> "PromptLearnerConfig":
         return PromptLearnerConfig(n_cls, n_prefix=4, n_cls_ctx=3, per_class=True)
+
+    @staticmethod
+    def veri_ivlp(n_cls: int) -> "PromptLearnerConfig":
+        """VeRi under IVLP: prefix is still SOT + 'a photo of' (4 tokens),
+        ctx exactly replaces the four X placeholders (reference:
+        maple.py:211-231 uses n_ctx=3 -> prefix [:4], n_cls_ctx=4)."""
+        return PromptLearnerConfig(n_cls, n_prefix=4, n_cls_ctx=4, per_class=True)
 
     @staticmethod
     def captions(n_cls: int) -> "PromptLearnerConfig":

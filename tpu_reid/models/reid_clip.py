@@ -163,14 +163,17 @@ def all_class_text_features(
 
 
 def forward_train(
-    params: dict, cfg: ReidModelConfig, images: jax.Array, train: bool = True
+    params: dict, cfg: ReidModelConfig, images: jax.Array, train: bool = True,
+    valid: Optional[jax.Array] = None,
 ) -> dict:
     """Training-time forward for the stage-2 loss (reference:
     prompt_learning.py:301-317): ID logits at both BNNeck levels + the
-    feature triple + optionally the frozen ZS teacher's non-proj feature."""
+    feature triple + optionally the frozen ZS teacher's non-proj feature.
+    valid: (B,) row mask — padded rows stay out of the BNNeck batch stats."""
     feats = encode_image_features(params, cfg, images)
     head = H.apply_classifier(
-        params["head"], feats["non_proj"], feats["proj"], train=train
+        params["head"], feats["non_proj"], feats["proj"], train=train,
+        valid=valid,
     )
     out = {
         "cls_scores": (head["logits"], head["logits_proj"]),

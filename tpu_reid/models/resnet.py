@@ -65,21 +65,36 @@ def init_bn(c: int) -> dict:
 
 def batch_norm(
     p: dict, x: jax.Array, train: bool = False, eps: float = 1e-5,
-    momentum: float = 0.1,
+    momentum: float = 0.1, valid=None,
 ) -> Tuple[jax.Array, Optional[dict]]:
     """BatchNorm over all axes but the channel (last) axis, fp32 statistics.
 
     Returns (y, new_stats) where new_stats is None at inference and the
     momentum-updated {mean, var} in train mode (torch convention:
     new = (1 - m) * running + m * batch, unbiased var for the update).
+
+    valid: optional (B,) bool mask (leading-axis rows) — padded rows are
+    excluded from the batch statistics, so a padded batch normalizes its
+    real rows exactly as the unpadded batch would.
     """
     x32 = x.astype(jnp.float32)
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x32, axis=axes)
-        var = jnp.var(x32, axis=axes)
-        n = x32.size // x32.shape[-1]
-        unbiased = var * (n / max(n - 1, 1))
+        if valid is not None:
+            shape = (valid.shape[0],) + (1,) * (x.ndim - 1)
+            w = valid.astype(jnp.float32).reshape(shape)
+            n = jnp.maximum(
+                jnp.sum(w) * (x32.size // x32.shape[-1] // valid.shape[0]),
+                1.0,
+            )
+            mean = jnp.sum(x32 * w, axis=axes) / n
+            var = jnp.sum(jnp.square(x32 - mean) * w, axis=axes) / n
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        else:
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.var(x32, axis=axes)
+            n = x32.size // x32.shape[-1]
+            unbiased = var * (n / max(n - 1, 1))
         new_stats = {
             "mean": (1 - momentum) * p["mean"] + momentum * mean,
             "var": (1 - momentum) * p["var"] + momentum * unbiased,

@@ -23,6 +23,12 @@ Behavioral contracts (reference: losses.py):
     (losses.py:179-209).
 
 All functions are pure and jit-safe (static shapes, fp32 internals).
+
+Every loss takes an optional `valid` mask (B,) bool: padded rows (from a
+static-shape batch loader's tail batch) contribute nothing to the value or
+the gradient. The reference never needs this — torch loaders yield ragged
+tail batches — so masked-off behavior is defined here as "identical to
+slicing the padding away".
 """
 
 from __future__ import annotations
@@ -31,6 +37,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _masked_mean(x: jax.Array, valid: Optional[jax.Array]) -> jax.Array:
+    if valid is None:
+        return jnp.mean(x)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(x * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def euclidean_dist(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -70,11 +83,12 @@ def batch_hard_mining(
 
 
 def _ranking_loss(
-    d_ap: jax.Array, d_an: jax.Array, margin: Optional[float]
+    d_ap: jax.Array, d_an: jax.Array, margin: Optional[float],
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     if margin is not None:
-        return jnp.mean(jax.nn.relu(d_ap - d_an + margin))
-    return jnp.mean(jax.nn.softplus(d_ap - d_an))
+        return _masked_mean(jax.nn.relu(d_ap - d_an + margin), valid)
+    return _masked_mean(jax.nn.softplus(d_ap - d_an), valid)
 
 
 def triplet_loss(
@@ -82,12 +96,17 @@ def triplet_loss(
     labels: jax.Array,
     margin: Optional[float] = 0.3,
     normalize_feature: bool = False,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     if normalize_feature:
         feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
     dist = euclidean_dist(feat, feat)
-    d_ap, d_an = batch_hard_mining(dist, labels)
-    return _ranking_loss(d_ap, d_an, margin)
+    exclude = None
+    if valid is not None:
+        # padded rows are neither anchors (masked mean) nor candidates
+        exclude = jnp.broadcast_to(~valid[None, :], dist.shape)
+    d_ap, d_an = batch_hard_mining(dist, labels, exclude_cols=exclude)
+    return _ranking_loss(d_ap, d_an, margin, valid)
 
 
 def triplet_loss_xbm(
@@ -99,10 +118,12 @@ def triplet_loss_xbm(
     self_cols: Optional[jax.Array] = None,
     valid_cols: Optional[jax.Array] = None,
     normalize_feature: bool = False,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Anchors vs memory bank. self_cols: (N,) int column index of each
     anchor's own slot in the bank (excluded from mining). valid_cols: (M,)
-    bool mask of filled bank slots (unfilled slots excluded)."""
+    bool mask of filled bank slots (unfilled slots excluded). valid: (N,)
+    anchor-row mask (padded anchors excluded from the mean)."""
     if normalize_feature:
         feat = feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
         feat_xbm = feat_xbm / jnp.linalg.norm(feat_xbm, axis=-1, keepdims=True)
@@ -115,7 +136,7 @@ def triplet_loss_xbm(
         invalid = jnp.broadcast_to(~valid_cols[None, :], dist.shape)
         exclude = invalid if exclude is None else (exclude | invalid)
     d_ap, d_an = batch_hard_mining(dist, labels, labels_xbm, exclude)
-    return _ranking_loss(d_ap, d_an, margin)
+    return _ranking_loss(d_ap, d_an, margin, valid)
 
 
 def supcon_loss(
@@ -124,16 +145,23 @@ def supcon_loss(
     anchor_labels: jax.Array,
     contrast_labels: jax.Array,
     temperature: float = 1.0,
+    anchor_valid: Optional[jax.Array] = None,
+    contrast_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Supervised contrastive loss between two feature sets
     (reference: losses.py:155-176). Callers are expected to pass
-    L2-normalized features, as the reference trainers do."""
+    L2-normalized features, as the reference trainers do. Invalid contrast
+    columns drop out of both the positive mask and the denominator; invalid
+    anchor rows drop out of the mean."""
     a = anchor_features.astype(jnp.float32)
     c = contrast_features.astype(jnp.float32)
     mask = (anchor_labels[:, None] == contrast_labels[None, :]).astype(
         jnp.float32
     )
     logits = (a @ c.T) / temperature
+    if contrast_valid is not None:
+        mask = mask * contrast_valid[None, :].astype(jnp.float32)
+        logits = jnp.where(contrast_valid[None, :], logits, -1e30)
     logits = logits - jax.lax.stop_gradient(
         jnp.max(logits, axis=1, keepdims=True)
     )
@@ -143,13 +171,14 @@ def supcon_loss(
     mean_log_prob_pos = jnp.sum(mask * log_prob, axis=1) / jnp.maximum(
         jnp.sum(mask, axis=1), 1e-12
     )
-    return -jnp.mean(mean_log_prob_pos)
+    return -_masked_mean(mean_log_prob_pos, anchor_valid)
 
 
 def cross_entropy_label_smooth(
     logits: jax.Array,
     labels: jax.Array,
     epsilon: float = 0.1,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """ε-smoothed CE with the reference's mean-over-batch / sum-over-class
     reduction (losses.py:179-209)."""
@@ -157,12 +186,14 @@ def cross_entropy_label_smooth(
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     targets = jax.nn.one_hot(labels, n_cls, dtype=jnp.float32)
     targets = (1.0 - epsilon) * targets + epsilon / n_cls
-    return jnp.sum(jnp.mean(-targets * log_probs, axis=0))
+    per_row = jnp.sum(-targets * log_probs, axis=-1)
+    return _masked_mean(per_row, valid)
 
 
-def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def cross_entropy(
+    logits: jax.Array, labels: jax.Array, valid: Optional[jax.Array] = None
+) -> jax.Array:
     """Plain CE (the image-text logits term, prompt_learning.py:492-495)."""
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.mean(
-        jnp.take_along_axis(log_probs, labels[:, None], axis=1)
-    )
+    per_row = -jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+    return _masked_mean(per_row, valid)

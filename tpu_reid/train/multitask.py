@@ -170,19 +170,21 @@ def mt_stage2_trainable(path: Tuple[str, ...], cfg: MultitaskModelConfig) -> boo
 
 
 def make_mt_stage1_step(cfg: MultitaskModelConfig, optimizer, task: int):
-    def loss_fn(trainable, frozen, images, labels):
+    def loss_fn(trainable, frozen, images, labels, valid):
         params = O.combine(trainable, frozen)
         image_features = encode_image_mt(params, cfg, task, images)[2]
         text_features = encode_text_mt(params, cfg, task, labels)
         return (
-            L.supcon_loss(image_features, text_features, labels, labels)
-            + L.supcon_loss(text_features, image_features, labels, labels)
+            L.supcon_loss(image_features, text_features, labels, labels,
+                          anchor_valid=valid, contrast_valid=valid)
+            + L.supcon_loss(text_features, image_features, labels, labels,
+                            anchor_valid=valid, contrast_valid=valid)
         )
 
     @jax.jit
-    def step(trainable, frozen, opt_state, images, labels):
+    def step(trainable, frozen, opt_state, images, labels, valid=None):
         loss, grads = jax.value_and_grad(loss_fn)(
-            trainable, frozen, images, labels
+            trainable, frozen, images, labels, valid
         )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
@@ -198,39 +200,51 @@ def make_mt_stage2_step(
     head_key = "head1" if task == 0 else "head2"
 
     def loss_fn(trainable, frozen, images, labels, text_features, xbm_state,
-                use_xbm):
+                use_xbm, valid):
         params = O.combine(trainable, frozen)
         last, non_proj, proj = encode_image_mt(params, cfg, task, images)
-        head = H.apply_classifier(params[head_key], non_proj, proj, train=True)
+        head = H.apply_classifier(params[head_key], non_proj, proj, train=True,
+                                  valid=valid)
         loss = jnp.float32(0.0)
         for score in (head["logits"], head["logits_proj"]):
             loss += tcfg.id_loss_weight * L.cross_entropy_label_smooth(
-                score, labels, tcfg.label_smooth_eps
+                score, labels, tcfg.label_smooth_eps, valid=valid
             )
         logits = proj.astype(jnp.float32) @ text_features.T.astype(jnp.float32)
         loss += L.cross_entropy_label_smooth(
-            logits, labels, tcfg.label_smooth_eps
+            logits, labels, tcfg.label_smooth_eps, valid=valid
         )
+        tri = jnp.float32(0.0)
         for feat in (last, non_proj, proj):
-            loss += L.triplet_loss(feat, labels, margin=tcfg.triplet_margin)
+            tri += L.triplet_loss(
+                feat, labels, margin=tcfg.triplet_margin, valid=valid
+            )
+        if valid is None:
+            loss += tri
+        else:  # bs>=4 triplet gate (reference: ..._multitask.py:565-568)
+            loss += jnp.where(jnp.sum(valid) >= 4, tri, 0.0)
 
         # XBM memory triplet (reference enqueues BEFORE mining, so the
-        # current batch is part of the bank; self-slots are excluded)
-        new_xbm, slots = X.xbm_enqueue(xbm_state, proj, labels)
+        # current batch is part of the bank; self-slots are excluded).
+        # margin 0.3: both hard-sharing scripts construct
+        # WeightedRegularizedTripletXBM(0.3) (reference: ..._hard_sharing.py:574,
+        # ..._hard_sharing_ivlp.py:436)
+        new_xbm, slots = X.xbm_enqueue(xbm_state, proj, labels, valid=valid)
         bank_f, bank_l, bank_valid = X.xbm_get(new_xbm)
         xbm_loss = L.triplet_loss_xbm(
-            proj, labels, bank_f, bank_l, margin=None,
-            self_cols=slots, valid_cols=bank_valid,
+            proj, labels, bank_f, bank_l, margin=tcfg.triplet_margin,
+            self_cols=slots, valid_cols=bank_valid, valid=valid,
         )
         loss += jnp.where(use_xbm, xbm_weight * xbm_loss, 0.0)
         return loss, (head["new_stats"], new_xbm)
 
     @jax.jit
     def step(trainable, frozen, opt_state, images, labels, text_features,
-             xbm_state, use_xbm):
+             xbm_state, use_xbm, valid=None):
         (loss, (bn_stats, new_xbm)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(trainable, frozen, images, labels, text_features, xbm_state, use_xbm)
+        )(trainable, frozen, images, labels, text_features, xbm_state,
+          use_xbm, valid)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         frozen = dict(frozen)
@@ -264,12 +278,38 @@ def alternate(it1: Iterable, it2: Iterable) -> Iterator[Tuple[int, object]]:
             return
 
 
+def alternate_longest(
+    it1: Iterable, it2: Iterable
+) -> Iterator[Tuple[int, object]]:
+    """Alternation that drains BOTH iterators — after one is exhausted the
+    other keeps going (the `while i <= iter1 or j <= iter2` toggle in the
+    soft and plain-hard stage-1 loops, reference:
+    prompt_learning_multitask.py:477, ..._hard_sharing.py:331)."""
+    from itertools import zip_longest
+
+    for b1, b2 in zip_longest(it1, it2):
+        if b1 is not None:
+            yield 0, b1
+        if b2 is not None:
+            yield 1, b2
+
+
 def chain_tasks(it1: Iterable, it2: Iterable) -> Iterator[Tuple[int, object]]:
     """zip-style pairing: one batch from each per step pair, stopping at the
-    shorter loader (reference stage 2: zip(dataloader1, dataloader2))."""
+    shorter loader (reference hard-ivlp stage 2:
+    ..._hard_sharing_ivlp.py:452 `zip(dataloader1, dataloader2)`)."""
     for b1, b2 in zip(it1, it2):
         yield 0, b1
         yield 1, b2
+
+
+def chain_tasks_longest(
+    it1: Iterable, it2: Iterable
+) -> Iterator[Tuple[int, object]]:
+    """zip_longest pairing: after the shorter loader drains, the longer one
+    keeps stepping alone (reference plain-hard stage 2:
+    ..._hard_sharing.py:592 `zip_longest(dataloader1, dataloader2)`)."""
+    return alternate_longest(it1, it2)
 
 
 # ---------------------------------------------------------------------------
@@ -303,11 +343,16 @@ def run_mt_stage1(
         losses = []
         for task, (images, labels, valid) in epoch_batches(epoch):
             trainable, opt_state, loss = steps[task](
-                trainable, frozen, opt_state, images, labels
+                trainable, frozen, opt_state, images, labels,
+                jnp.asarray(np.asarray(valid)),
             )
             losses.append(float(loss))
-        # GPA tracked + applied for the hard variants unconditionally
-        gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch - 1])
+        # stage-1 GPA only for the ivlp variant: the plain hard-sharing
+        # script has its stage-1 averaging commented out
+        # (reference: ..._hard_sharing.py:314,461-466 vs
+        # ..._hard_sharing_ivlp.py:236,314-319)
+        if cfg.variant == "hard_ivlp":
+            gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch - 1])
         if losses:
             log(f"[mt-stage1] epoch {epoch}/{epochs} loss {np.mean(losses):.4f}")
     out = O.combine(trainable, frozen)
@@ -354,6 +399,7 @@ def run_mt_stage2(
             trainable, frozen, opt_state, xbms[task], loss = steps[task](
                 trainable, frozen, opt_state, images, labels,
                 text_features[task], xbms[task], use_xbm,
+                jnp.asarray(np.asarray(valid)),
             )
             losses.append(float(loss))
         gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])

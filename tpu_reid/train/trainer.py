@@ -55,11 +55,15 @@ class TrainConfig:
     gpa_stage2: Tuple[float, float] = (30.0, 30.0)
 
 
-def smooth_l1(x: jax.Array, y: jax.Array) -> jax.Array:
+def smooth_l1(x: jax.Array, y: jax.Array, valid=None) -> jax.Array:
     """torch F.smooth_l1_loss(beta=1, mean) for the promptsrc distill term
-    (reference: prompt_learning.py:490)."""
+    (reference: prompt_learning.py:490). valid: optional (B,) row mask."""
     d = jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))
-    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+    e = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+    if valid is None:
+        return jnp.mean(e)
+    w = valid.astype(jnp.float32)[:, None]
+    return jnp.sum(e * w) / jnp.maximum(jnp.sum(w) * e.shape[-1], 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -93,6 +97,8 @@ def make_stage1_step(cfg: M.ReidModelConfig, optimizer, cached: bool,
     def loss_fn(trainable, frozen, batch):
         params = O.combine(trainable, frozen)
         labels = batch["labels"]
+        valid = batch.get("valid")  # (B,) bool; padded rows drop out of both
+        # supcon directions (the cached path host-filters instead)
         if cached:
             image_features = batch["image_features"]
         else:
@@ -100,8 +106,10 @@ def make_stage1_step(cfg: M.ReidModelConfig, optimizer, cached: bool,
                 "proj"
             ]
         text_features = M.encode_text_features(params, cfg, labels)
-        loss = L.supcon_loss(image_features, text_features, labels, labels)
-        loss += L.supcon_loss(text_features, image_features, labels, labels)
+        loss = L.supcon_loss(image_features, text_features, labels, labels,
+                             anchor_valid=valid, contrast_valid=valid)
+        loss += L.supcon_loss(text_features, image_features, labels, labels,
+                              anchor_valid=valid, contrast_valid=valid)
         return loss
 
     def step(trainable, frozen, opt_state, batch):
@@ -142,13 +150,19 @@ def run_stage1(
     batch_size: int = 64,
     log: Callable[[str], None] = print,
     checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
+    cached_order: Optional[Callable[[int, np.ndarray], Iterable]] = None,
 ) -> dict:
     """epoch_batches(epoch) yields (images_u8 or images, labels, valid)
     device-ready batches. batch_size drives the cached-feature path's step
     size (the reference uses params.bs, prompt_learning.py:379). Returns
     trained params (GPA-averaged for promptsrc). checkpoint_cb(epoch,
     params) fires after every epoch — wire CheckpointManager.maybe_save for
-    the reference's every-20-epochs cadence (prompt_learning.py:472-474)."""
+    the reference's every-20-epochs cadence (prompt_learning.py:472-474).
+
+    cached_order(epoch, labels) -> iterable of index arrays overrides the
+    cached path's batch order (the soft-multitask per-dataset alternation,
+    reference: prompt_learning_multitask.py:475-503); tail batches shorter
+    than batch_size are padded and masked."""
     epochs = epochs or tcfg.epochs_stage1
     params = jax.tree.map(jnp.asarray, params)  # commit to device once
     cached = cfg.mode in ("coop", "adapter")
@@ -176,12 +190,23 @@ def run_stage1(
         if cached:
             if bs is None:
                 bs = min(batch_size, n)
-            order = rng.permutation(n)
-            for i in range(0, n - bs + 1, bs):
-                sel = order[i : i + bs]
+            if cached_order is not None:
+                sels = cached_order(epoch, np.asarray(labels))
+            else:
+                order = rng.permutation(n)
+                sels = (order[i : i + bs] for i in range(0, n, bs))
+            for sel in sels:
+                sel = np.asarray(sel)
+                k = sel.shape[0]
+                valid = np.ones((bs,), bool)
+                if k < bs:  # padded tail (the reference's ragged tail batch,
+                    # prompt_learning.py:434-441) — masked out of the loss
+                    valid[k:] = False
+                    sel = np.concatenate([sel, np.zeros((bs - k,), sel.dtype)])
                 batch = {
                     "image_features": feats[sel],
                     "labels": labels[sel],
+                    "valid": jnp.asarray(valid),
                 }
                 trainable, opt_state, loss = step(
                     trainable, frozen, opt_state, batch
@@ -189,7 +214,11 @@ def run_stage1(
                 losses.append(float(loss))
         else:
             for images, lab, valid in epoch_batches(epoch):
-                batch = {"images": images, "labels": lab}
+                batch = {
+                    "images": images,
+                    "labels": lab,
+                    "valid": jnp.asarray(np.asarray(valid)),
+                }
                 trainable, opt_state, loss = step(
                     trainable, frozen, opt_state, batch
                 )
@@ -219,29 +248,40 @@ def run_stage1(
 def make_stage2_step(
     cfg: M.ReidModelConfig, tcfg: TrainConfig, optimizer, mesh=None
 ):
-    def loss_fn(trainable, frozen, images, labels, text_features):
+    def loss_fn(trainable, frozen, images, labels, text_features, valid):
         params = O.combine(trainable, frozen)
-        out = M.forward_train(params, cfg, images, train=True)
+        out = M.forward_train(params, cfg, images, train=True, valid=valid)
         loss = jnp.float32(0.0)
         if cfg.mode == "promptsrc":
-            loss += smooth_l1(out["features"][1], out["zs_non_proj"])
+            loss += smooth_l1(out["features"][1], out["zs_non_proj"], valid)
         for score in out["cls_scores"]:
             loss += tcfg.id_loss_weight * L.cross_entropy_label_smooth(
-                score, labels, tcfg.label_smooth_eps
+                score, labels, tcfg.label_smooth_eps, valid=valid
             )
         logits = out["proj"].astype(jnp.float32) @ text_features.T.astype(
             jnp.float32
         )
         loss += L.cross_entropy_label_smooth(
-            logits, labels, tcfg.label_smooth_eps
+            logits, labels, tcfg.label_smooth_eps, valid=valid
         )
+        tri = jnp.float32(0.0)
         for feat in out["features"]:
-            loss += L.triplet_loss(feat, labels, margin=tcfg.triplet_margin)
+            tri += L.triplet_loss(
+                feat, labels, margin=tcfg.triplet_margin, valid=valid
+            )
+        if valid is None:
+            loss += tri
+        else:
+            # reference multitask gates the triplet on batch size >= 4
+            # (prompt_learning_multitask.py:565-568); a padded tail batch
+            # with <4 real rows has no meaningful hard mining
+            loss += jnp.where(jnp.sum(valid) >= 4, tri, 0.0)
         return loss, out["bn_stats"]
 
-    def step(trainable, frozen, opt_state, images, labels, text_features):
+    def step(trainable, frozen, opt_state, images, labels, text_features,
+             valid=None):
         (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, frozen, images, labels, text_features
+            trainable, frozen, images, labels, text_features, valid
         )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
@@ -261,8 +301,10 @@ def make_stage2_step(
     from tpu_reid.parallel.mesh import data_sharding, replicated
 
     rep, dat = replicated(mesh), data_sharding(mesh)
-    # params/opt state/text features replicated; image+label batch sharded
-    return jax.jit(step, in_shardings=(rep, rep, rep, dat, dat, rep))
+    # params/opt state/text features replicated; image/label/valid sharded.
+    # the mesh path requires valid to be passed (an explicit all-ones mask
+    # for full batches) so the arity matches the shardings.
+    return jax.jit(step, in_shardings=(rep, rep, rep, dat, dat, rep, dat))
 
 
 def run_stage2(
@@ -297,7 +339,8 @@ def run_stage2(
         losses = []
         for images, labels, valid in epoch_batches(epoch):
             trainable, frozen, opt_state, loss = step(
-                trainable, frozen, opt_state, images, labels, text_features
+                trainable, frozen, opt_state, images, labels, text_features,
+                jnp.asarray(np.asarray(valid)),
             )
             losses.append(float(loss))
         if cfg.mode == "promptsrc":

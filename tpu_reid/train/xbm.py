@@ -33,13 +33,19 @@ def init_xbm(capacity: int, dim: int, dtype=jnp.float32) -> dict:
 
 
 def xbm_enqueue(
-    state: dict, feats: jax.Array, labels: jax.Array
+    state: dict, feats: jax.Array, labels: jax.Array, valid=None
 ) -> Tuple[dict, jax.Array]:
     """Write a batch at the ring pointer. Returns (new_state, slots) where
-    slots[i] is the buffer position of feats[i]."""
+    slots[i] is the buffer position of feats[i].
+
+    valid: optional (B,) bool mask — padded rows still consume ring slots
+    (static shapes) but are stored with label -1, which `xbm_get` reports
+    as invalid so they never enter the mining."""
     cap = state["feats"].shape[0]
     b = feats.shape[0]
     assert b <= cap, "batch larger than XBM capacity"
+    if valid is not None:
+        labels = jnp.where(valid, labels, -1)
     slots = (state["ptr"] + jnp.arange(b)) % cap
     new = {
         "feats": state["feats"].at[slots].set(
@@ -57,9 +63,9 @@ def xbm_is_full(state: dict) -> jax.Array:
 
 
 def xbm_get(state: dict) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(feats, labels, valid_mask). Unfilled slots carry label -1, which can
-    never equal a real pid, so they are negatives-with-huge-distance-0 —
-    callers should still mask them out via the valid mask."""
+    """(feats, labels, valid_mask). Unfilled slots — and slots a padded row
+    was enqueued into (label -1) — are reported invalid; callers must mask
+    them out of the mining via the valid mask."""
     cap = state["feats"].shape[0]
-    valid = jnp.arange(cap) < state["filled"]
+    valid = (jnp.arange(cap) < state["filled"]) & (state["labels"] >= 0)
     return state["feats"], state["labels"], valid
