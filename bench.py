@@ -62,14 +62,26 @@ def main() -> None:
     float(extractor(params, images)[0, 0])
     float(extractor(params, images)[0, 0])
 
+    # per-batch latency: one dispatch, fully fenced
+    t0 = time.perf_counter()
+    float(extractor(params, images)[0, 0])
+    latency = time.perf_counter() - t0
+
+    # pipelined throughput: ONE dependency barrier after the loop (a
+    # per-iteration scalar fetch would tax every batch with the ~30 ms
+    # tunnel round-trip; one barrier summing a scalar from every output
+    # forces completion of all of them)
     n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = extractor(params, images)
-        float(out[0, 0])  # dependency barrier per iteration
+    outs = [extractor(params, images)[0, 0] for _ in range(n_iters)]
+    float(jnp.stack(outs).sum())
     dt = time.perf_counter() - t0
 
     emb_per_sec = batch * n_iters / dt
+    print(
+        f"# per-batch latency {latency * 1e3:.1f} ms "
+        f"({batch / latency:.0f} emb/s unpipelined)"
+    )
     print(
         json.dumps(
             {
