@@ -164,3 +164,69 @@ def test_fused_block_matches_residual_block():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5,
                                rtol=1e-4)
+
+
+def test_vmem_guard_block_sizes():
+    """ViT-B keeps its tuned block sizes; ViT-L shrinks attention to
+    block_b=1 and rejects the MLP (its 1024x4096 weights alone exceed a
+    v5e core's VMEM)."""
+    from tpu_reid.ops import fused_attention as F
+
+    assert F.mha_block_b(211, 768) == 4
+    assert F.mlp_block_b(211, 768, 3072) == 2
+    assert F.mha_block_b(257, 1024) == 1
+    assert F.mlp_block_b(257, 1024, 4096) is None
+    assert F.fused_block_viable(211, 768, 3072)
+    assert not F.fused_block_viable(257, 1024, 4096)
+    # absurdly wide: even attention at block_b=1 must refuse
+    assert F.mha_block_b(211, 4096) is None
+
+
+def test_fused_mha_vitl_width_auto_block():
+    """fused_mha at ViT-L width (1024) with auto block picking runs in
+    interpret mode and matches the XLA composition."""
+    from tpu_reid.ops.fused_attention import fused_mha
+
+    d, s, b, h = 1024, 17, 2, 16
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    w_in = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.02)
+    b_in = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.02)
+    w_out = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.02)
+    b_out = jnp.asarray(rng.randn(d).astype(np.float32) * 0.02)
+    got = fused_mha(x, w_in, b_in, w_out, b_out, h, interpret=True)
+
+    p = {"in_proj": {"w": w_in, "b": b_in},
+         "out_proj": {"w": w_out, "b": b_out}}
+    want = L.multi_head_attention(p, x, h)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_fused_mlp_raises_beyond_budget():
+    from tpu_reid.ops.fused_attention import fused_mlp
+
+    d, hid = 1024, 4096
+    x = jnp.zeros((1, 17, d), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_mlp(
+            x, jnp.ones((d,)), jnp.zeros((d,)),
+            jnp.zeros((d, hid)), jnp.zeros((hid,)),
+            jnp.zeros((hid, d)), jnp.zeros((d,)),
+            interpret=True,
+        )
+
+
+def test_residual_block_falls_back_beyond_budget():
+    """With the pallas impl forced, a too-wide block silently uses the XLA
+    path instead of crashing."""
+    d, hid, s, h = 1024, 4096, 9, 16
+    key = jax.random.key(0)
+    p = L.init_block(key, d, 2)
+    x = jnp.asarray(RNG.randn(2, s, d).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
+    with L.attention_impl("pallas"):
+        out = L.residual_block(p, x, h)  # would die in fused_mlp otherwise
+    assert out.shape == x.shape and bool(jnp.isfinite(out.astype(jnp.float32)).all())

@@ -103,17 +103,22 @@ def multi_head_attention(
     softmax.
     """
     if _use_pallas() and x.dtype == jnp.bfloat16:
-        from tpu_reid.ops.fused_attention import fused_mha
+        from tpu_reid.ops.fused_attention import fused_mha, mha_block_b
 
-        return fused_mha(
-            x,
-            p["in_proj"]["w"].astype(x.dtype),
-            p["in_proj"]["b"].astype(x.dtype),
-            p["out_proj"]["w"].astype(x.dtype),
-            p["out_proj"]["b"].astype(x.dtype),
-            n_heads,
-            mask,
-        )
+        if mha_block_b(x.shape[1], x.shape[2]) is None:
+            # geometry exceeds the fused kernel's VMEM budget (e.g. very
+            # wide towers) — XLA path below
+            pass
+        else:
+            return fused_mha(
+                x,
+                p["in_proj"]["w"].astype(x.dtype),
+                p["in_proj"]["b"].astype(x.dtype),
+                p["out_proj"]["w"].astype(x.dtype),
+                p["out_proj"]["b"].astype(x.dtype),
+                n_heads,
+                mask,
+            )
 
     b, s, d = x.shape
     dh = d // n_heads
@@ -216,9 +221,16 @@ def residual_block(
 
     The fused path requires bf16 activations: fp32 doubles every VMEM
     buffer and overflows the 16MB budget at the tuned block size — fp32
-    callers (parity evals, fp32 training) take the XLA path."""
+    callers (parity evals, fp32 training) take the XLA path. Geometries
+    whose resident weights exceed the VMEM budget (fused_attention.
+    fused_block_viable, e.g. ViT-L's 1024x4096 MLP) also fall back."""
     if _use_pallas() and x.dtype == jnp.bfloat16:
-        return _block_fused(p, x, n_heads, mask)
+        from tpu_reid.ops.fused_attention import fused_block_viable
+
+        if fused_block_viable(
+            x.shape[1], x.shape[2], p["mlp"]["c_fc"]["w"].shape[-1]
+        ):
+            return _block_fused(p, x, n_heads, mask)
     return _block_xla(p, x, n_heads, mask)
 
 

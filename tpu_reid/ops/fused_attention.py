@@ -30,6 +30,58 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# ---------------------------------------------------------------------------
+# VMEM budget guard
+#
+# Both kernels keep their full weight matrices resident in VMEM via constant
+# index maps (that is the point: weights stream in once, not per grid step),
+# so a wider model can simply not fit — ViT-L's (1024, 4096) MLP weights
+# alone are ~17 MB bf16, more than a v5e core's VMEM. The element-count
+# models below are calibrated against the proven ViT-B/16 operating point
+# (block_b=4/2, s_pad=216, d=768); callers shrink block_b by halving and
+# fall back to the XLA path when even block_b=1 exceeds the budget.
+# ---------------------------------------------------------------------------
+
+_MHA_ELEM_BUDGET = 6_700_000  # ~= footprint model at (bb=4, s=216, d=768)
+_MLP_ELEM_BUDGET = 9_500_000  # ~= footprint model at (bb=2, s=216, hid=3072)
+
+
+def _mha_elems(bb: int, s_pad: int, d: int) -> int:
+    # activations (x, qkv, per-head scores) + resident weights + mask
+    return 6 * bb * s_pad * d + 4 * d * d + 2 * s_pad * s_pad
+
+
+def _mlp_elems(bb: int, s_pad: int, d: int, hid: int) -> int:
+    return bb * s_pad * (2 * d + 3 * hid) + 2 * d * hid
+
+
+def mha_block_b(s: int, d: int, requested: int = 4) -> Optional[int]:
+    """Largest batch-block <= requested whose estimated VMEM footprint fits;
+    None if the geometry cannot run fused at all (fall back to XLA)."""
+    s_pad = max(_round_up(s, 8), 128)
+    bb = requested
+    while bb >= 1:
+        if _mha_elems(bb, s_pad, d) <= _MHA_ELEM_BUDGET:
+            return bb
+        bb //= 2
+    return None
+
+
+def mlp_block_b(s: int, d: int, hid: int, requested: int = 2) -> Optional[int]:
+    s_pad = max(_round_up(s, 8), 128)
+    bb = requested
+    while bb >= 1:
+        if _mlp_elems(bb, s_pad, d, hid) <= _MLP_ELEM_BUDGET:
+            return bb
+        bb //= 2
+    return None
+
+
+def fused_block_viable(s: int, d: int, hid: int) -> bool:
+    """True when BOTH half-block kernels fit this geometry."""
+    return mha_block_b(s, d) is not None and mlp_block_b(s, d, hid) is not None
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
     """fp32-statistics LayerNorm over the last axis (matches models.layers)."""
     x32 = x.astype(jnp.float32)
@@ -106,12 +158,20 @@ def fused_mha(
     mask: Optional[jax.Array] = None,
     ln_scale: Optional[jax.Array] = None,  # (D,) -> fuse pre-LN + residual
     ln_bias: Optional[jax.Array] = None,
-    block_b: int = 4,
+    block_b: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused attention. With ln_scale/ln_bias the kernel computes the whole
-    pre-norm half-block x + attn(ln(x)); without them, just attn(x)."""
+    pre-norm half-block x + attn(ln(x)); without them, just attn(x).
+    block_b=None picks the largest batch-block the VMEM budget allows."""
     b, s, d = x.shape
+    if block_b is None:
+        block_b = mha_block_b(s, d)
+        if block_b is None:
+            raise ValueError(
+                f"fused_mha: geometry (s={s}, d={d}) exceeds the VMEM "
+                "budget even at block_b=1 — use the XLA attention path"
+            )
     s_pad = max(_round_up(s, 8), 128)
     b_pad = _round_up(b, block_b)
     xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
@@ -192,12 +252,20 @@ def fused_mlp(
     b_fc: jax.Array,
     w_proj: jax.Array,  # (4D, D)
     b_proj: jax.Array,
-    block_b: int = 2,
+    block_b: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """x + mlp(ln(x)) — the hidden (NB, S, 4D) tensor never leaves VMEM."""
+    """x + mlp(ln(x)) — the hidden (NB, S, 4D) tensor never leaves VMEM.
+    block_b=None picks the largest batch-block the VMEM budget allows."""
     b, s, d = x.shape
     hid = w_fc.shape[1]
+    if block_b is None:
+        block_b = mlp_block_b(s, d, hid)
+        if block_b is None:
+            raise ValueError(
+                f"fused_mlp: geometry (s={s}, d={d}, hid={hid}) exceeds the "
+                "VMEM budget even at block_b=1 — use the XLA MLP path"
+            )
     s_pad = max(_round_up(s, 8), 128)
     b_pad = _round_up(b, block_b)
     xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
