@@ -157,3 +157,32 @@ def test_rn50_bn_stats_loaded():
         params["visual"]["layer2"][0]["down_bn"]["var"],
         sd["visual.layer2.0.downsample.2.running_var"],
     )
+
+
+def test_metaclip_hf_bin_roundtrip(tmp_path):
+    """Format 4: a MetaCLIP HF `.bin` is a plain torch-pickled dict of
+    tensors in OpenAI CLIP key layout (the reference feeds torch.load(...)
+    straight into build_model_from_openai_state_dict,
+    prompt_learning.py:695 / metaclip.py:545-570). Both the flat layout and
+    a {"state_dict": ...} nesting must load and convert identically."""
+    import torch
+
+    from tpu_reid.weights.convert import convert_clip, load_state_dict
+
+    sd_t = {k: torch.from_numpy(v) for k, v in SD.items()}
+
+    flat = tmp_path / "metaclip_b16.bin"
+    torch.save(sd_t, str(flat))
+    nested = tmp_path / "metaclip_b16_nested.bin"
+    torch.save({"state_dict": sd_t}, str(nested))
+
+    import jax
+
+    for path in (flat, nested):
+        sd = load_state_dict(str(path))
+        assert set(sd.keys()) == set(SD.keys())
+        cfg, params = convert_clip(sd, image_hw=(32, 16), stride=8)
+        cfg0, params0 = convert_clip(SD, image_hw=(32, 16), stride=8)
+        assert cfg == cfg0
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
