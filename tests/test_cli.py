@@ -177,3 +177,24 @@ def test_zero_shot_cli_rn50(assets, monkeypatch, tmp_path):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_cli_bf16(assets, monkeypatch, tmp_path):
+    """--dtype bf16: training runs with bf16 activations (fp32 master
+    params), the TPU analog of the reference's fp16 AMP
+    (prompt_learning.py:404,450-453)."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "ivlp", "--dtype", "bf16",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0

@@ -41,6 +41,9 @@ def params_parser():
                         "prompt_learning_multitask.py:730); hard variants "
                         "fix their mode (coop / ivlp)")
     p.add_argument("--vpt_ctx", default=2, type=int)
+    p.add_argument("--dtype", default="fp32", type=str,
+                   choices=["fp32", "bf16"],
+                   help="activation dtype for training (params stay fp32)")
     p.add_argument("--train_dataset", default="market1501", type=str)
     p.add_argument("--train_dataset_multitask", default="dukemtmc", type=str)
     p.add_argument("--test_dataset", default=None, type=str)
@@ -86,8 +89,9 @@ def main():
     tcfg = TR.TrainConfig(
         epochs_stage1=args.epochs_stage1, epochs_stage2=args.epochs_stage2
     )
-    pp1 = DevicePreprocess((h1, w1), "vit")
-    pp2 = DevicePreprocess((h2, w2), "vit")
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    pp1 = DevicePreprocess((h1, w1), "vit", dtype=dtype)
+    pp2 = DevicePreprocess((h2, w2), "vit", dtype=dtype)
     key = jax.random.key(args.seed)
 
     # prompt design: hard variants fix their mode; the soft variant follows

@@ -39,6 +39,12 @@ def params_parser():
     p.add_argument("--pretrained_vpt", default=None, type=str,
                    help="IVLP ImageNet-pretrained VPT checkpoint "
                         "(reference: clip_imagenet_pretrained_ivlp.pth.tar-5)")
+    p.add_argument("--dtype", default="fp32", type=str,
+                   choices=["fp32", "bf16"],
+                   help="activation dtype for training AND extraction; bf16 "
+                        "is the TPU counterpart of the reference's fp16 AMP "
+                        "(prompt_learning.py:404,450-453) and engages the "
+                        "fused Pallas block path")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
@@ -177,7 +183,11 @@ def main():
     mcfg, params, (h, w) = build_model(args, n_cls, dataset.car_types_train)
     log.log("model", mode=args.training_mode, n_cls=n_cls, h=h, w=w)
 
-    pp = DevicePreprocess((h, w), "vit")
+    # bf16 activations: params stay fp32 (the layers cast weights to the
+    # activation dtype on the fly), so the optimizer sees full-precision
+    # master weights — the TPU analog of the reference's AMP training
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    pp = DevicePreprocess((h, w), "vit", dtype=dtype)
     key = jax.random.key(args.seed)
 
     def stage1_batches(epoch):
