@@ -167,19 +167,23 @@ def test_fused_block_matches_residual_block():
 
 
 def test_vmem_guard_block_sizes():
-    """ViT-B keeps its tuned block sizes; ViT-L shrinks attention to
-    block_b=1 and rejects the MLP (its 1024x4096 weights alone exceed a
-    v5e core's VMEM)."""
+    """ViT-B and ViT-L both run at the tuned block_b=4 under the raised
+    (96 MB) Mosaic VMEM limit — both verified compiling AND running on a
+    v5e (ViT-L at B=256/S=257: mha 9.5 ms, mlp 10.8 ms). A hypothetical
+    4096-wide tower still must refuse (its resident weights alone exceed
+    the budget even at block_b=1)."""
     from tpu_reid.ops import fused_attention as F
 
     assert F.mha_block_b(211, 768) == 4
-    assert F.mlp_block_b(211, 768, 3072) == 2
-    assert F.mha_block_b(257, 1024) == 1
-    assert F.mlp_block_b(257, 1024, 4096) is None
+    assert F.mlp_block_b(211, 768, 3072) == 4
+    assert F.mha_block_b(257, 1024) == 4
+    assert F.mlp_block_b(257, 1024, 4096) == 4
     assert F.fused_block_viable(211, 768, 3072)
-    assert not F.fused_block_viable(257, 1024, 4096)
+    assert F.fused_block_viable(257, 1024, 4096)
     # absurdly wide: even attention at block_b=1 must refuse
     assert F.mha_block_b(211, 4096) is None
+    assert F.mlp_block_b(211, 4096, 16384) is None
+    assert not F.fused_block_viable(211, 4096, 16384)
 
 
 def test_fused_mha_vitl_width_auto_block():
@@ -207,7 +211,7 @@ def test_fused_mha_vitl_width_auto_block():
 def test_fused_mlp_raises_beyond_budget():
     from tpu_reid.ops.fused_attention import fused_mlp
 
-    d, hid = 1024, 4096
+    d, hid = 4096, 16384
     x = jnp.zeros((1, 17, d), jnp.float32)
     with pytest.raises(ValueError, match="VMEM"):
         fused_mlp(
@@ -218,10 +222,16 @@ def test_fused_mlp_raises_beyond_budget():
         )
 
 
-def test_residual_block_falls_back_beyond_budget():
-    """With the pallas impl forced, a too-wide block silently uses the XLA
-    path instead of crashing."""
-    d, hid, s, h = 1024, 4096, 9, 16
+def test_residual_block_falls_back_beyond_budget(monkeypatch):
+    """With the pallas impl forced, a block whose geometry exceeds the VMEM
+    budget silently uses the XLA path instead of crashing. (Budgets are
+    shrunk via monkeypatch so the probe geometry stays test-sized — a real
+    over-budget tower at the production limits would be ~4096 wide.)"""
+    from tpu_reid.ops import fused_attention as F
+
+    monkeypatch.setattr(F, "_MLP_ELEM_BUDGET", 1000)
+    monkeypatch.setattr(F, "_MHA_ELEM_BUDGET", 1000)
+    d, hid, s, h = 64, 256, 9, 4
     key = jax.random.key(0)
     p = L.init_block(key, d, 2)
     x = jnp.asarray(RNG.randn(2, s, d).astype(np.float32) * 0.1).astype(
