@@ -222,3 +222,53 @@ def test_jpm_shapes_and_shuffle():
                       jnp.float32)
     out = V.apply_jpm(jpm, cfg, x12)
     assert out.shape == (2, 9, 32)
+
+
+def test_residual_block_cls_matches_full_block():
+    """CLS-only last block == full block restricted to position 0 (exact)."""
+    d, h, s, b = 48, 4, 13, 3
+    p = L.init_block(jax.random.PRNGKey(11), d, 2)
+    x = jnp.asarray(np.random.default_rng(12).normal(size=(b, s, d)) * 0.3,
+                    jnp.float32)
+    full = L.residual_block(p, x, h)
+    cls = L.residual_block_cls(p, x, h)
+    assert cls.shape == (b, 1, d)
+    np.testing.assert_allclose(
+        np.asarray(cls[:, 0]), np.asarray(full[:, 0]), atol=1e-5
+    )
+
+
+def test_apply_vit_cls_only_matches_full():
+    """cls_only path (incl. deep-prompt splice before the last block) agrees
+    with the full forward at position 0 for all three feature levels."""
+    design = PromptDesign(trainer="IVLP", vision_depth=3, vision_ctx=2,
+                          language_depth=1, language_ctx=2)
+    hg, wg = VisionConfig.grid_for((64, 32), 16, 12)
+    cfg = VisionConfig(layers=4, width=64, patch_size=16, stride=12,
+                       h_grid=hg, w_grid=wg, output_dim=32, design=design)
+    params = V.init_vit(jax.random.PRNGKey(21), cfg)
+    imgs = jnp.asarray(np.random.default_rng(22).normal(size=(2, 64, 32, 3)),
+                       jnp.float32)
+    x11_f, x12_f, xp_f = V.apply_vit(params, cfg, imgs)
+    x11_c, x12_c, xp_c = V.apply_vit(params, cfg, imgs, cls_only=True)
+    assert x12_c.shape == (2, 1, 64) and xp_c.shape == (2, 1, 32)
+    np.testing.assert_allclose(np.asarray(x11_c[:, 0]), np.asarray(x11_f[:, 0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x12_c[:, 0]), np.asarray(x12_f[:, 0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xp_c[:, 0]), np.asarray(xp_f[:, 0]),
+                               atol=1e-5)
+
+
+def test_residual_block_cls_gradients_match():
+    """For a CLS-only loss, gradients through the cls block equal gradients
+    through the full block — the trainers can use the fast path."""
+    d, h, s, b = 32, 4, 9, 2
+    p = L.init_block(jax.random.PRNGKey(31), d, 2)
+    x = jnp.asarray(np.random.default_rng(32).normal(size=(b, s, d)) * 0.3,
+                    jnp.float32)
+
+    g_full = jax.grad(lambda q: jnp.sum(L.residual_block(q, x, h)[:, 0] ** 2))(p)
+    g_cls = jax.grad(lambda q: jnp.sum(L.residual_block_cls(q, x, h)[:, 0] ** 2))(p)
+    for a, b_ in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_cls)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)

@@ -234,6 +234,44 @@ def residual_block(
     return _block_xla(p, x, n_heads, mask)
 
 
+@functools.partial(jax.checkpoint, static_argnums=(2,))
+def residual_block_cls(p: dict, x: jax.Array, n_heads: int) -> jax.Array:
+    """Last-block fast path for CLS-only consumers: computes the block's
+    output at position 0 only, returning (B, 1, D).
+
+    Exact, not an approximation: position 0's output depends on the rest of
+    the sequence only through attention K/V, and the MLP is per-token. The
+    ReID contract consumes only the CLS feature of the final block's output
+    (reference: prompt_learning.py:114 takes [:, 0] of x12/xproj;
+    maple.py:775-785), so running the full last block computes S-1 token
+    outputs that are immediately discarded — at B=512/S=211 that is ~10 ms
+    of a ~175 ms ViT-B/16 eval forward. Gradients are exact for CLS-only
+    losses too, so the trainers use it as well.
+
+    Cost is dominated by the full-sequence K/V projection (one
+    (B*S, D) x (D, 2D) matmul) — a shape XLA already runs at the MXU rate,
+    so no Pallas kernel is needed here.
+    """
+    b, s, d = x.shape
+    dh = d // n_heads
+    h = layer_norm(p["ln_1"], x)
+    w_in = p["attn"]["in_proj"]["w"].astype(x.dtype)
+    b_in = p["attn"]["in_proj"]["b"].astype(x.dtype)
+    wq, wk, wv = jnp.split(w_in, 3, axis=1)
+    bq, bk, bv = jnp.split(b_in, 3)
+    q = jnp.dot(h[:, :1], wq) + bq                      # (B, 1, D)
+    k = jnp.dot(h, wk) + bk                             # (B, S, D)
+    v = jnp.dot(h, wv) + bv
+    q = q.reshape(b, 1, n_heads, dh)
+    k = k.reshape(b, s, n_heads, dh)
+    v = v.reshape(b, s, n_heads, dh)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    probs = jax.nn.softmax(scores * (dh ** -0.5), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, 1, d)
+    x0 = x[:, :1] + linear(p["attn"]["out_proj"], out)
+    return x0 + mlp(p["mlp"], layer_norm(p["ln_2"], x0))
+
+
 def splice_prompt_tokens(
     x: jax.Array, prompt: jax.Array, text_side: bool
 ) -> jax.Array:

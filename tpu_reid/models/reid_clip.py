@@ -114,7 +114,7 @@ def _cls_triple(params: dict, cfg: ReidModelConfig, images: jax.Array):
         shallow, vdeep, _ = _maple_stacks(params, cfg)
         kw = {"deep_prompts": vdeep, "shallow_prompt": shallow}
     x11, x12, xproj = V.apply_vit(
-        params["clip"]["visual"], cfg.clip.vision, images, **kw
+        params["clip"]["visual"], cfg.clip.vision, images, cls_only=True, **kw
     )
     return x11[:, 0], x12[:, 0], xproj[:, 0]
 
@@ -183,7 +183,7 @@ def forward_train(
     }
     if cfg.mode == "promptsrc":
         _, zs_non_proj, _ = V.apply_vit(
-            params["zs_visual"], cfg.clip.vision, images
+            params["zs_visual"], cfg.clip.vision, images, cls_only=True
         )
         out["zs_non_proj"] = jax.lax.stop_gradient(zs_non_proj[:, 0])
     return out

@@ -87,6 +87,7 @@ def apply_vit(
     deep_prompts: Optional[jax.Array] = None,
     shallow_prompt: Optional[jax.Array] = None,
     cv_emb: Optional[jax.Array] = None,
+    cls_only: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Forward pass. Returns (x11, x12, xproj) full sequences; callers take
     [:, 0] for the CLS features (reference: prompt_learning.py:114).
@@ -94,6 +95,12 @@ def apply_vit(
     deep_prompts/shallow_prompt override params["vpt_deep"/"vpt_shallow"] —
     MaPLe passes externally projected prompts here (reference:
     maple.py:809-844).
+
+    cls_only=True runs the final block, ln_post and the projection on the
+    CLS position only (x12/xproj come back as (B, 1, ...)) — exact for
+    every caller that consumes [:, 0], and ~6% cheaper end to end. Callers
+    needing the full final sequence (JPM's shuffled-patch branch) keep the
+    default.
     """
     x = patch_embed(params, cfg, images)
     b = x.shape[0]
@@ -136,7 +143,10 @@ def apply_vit(
     if dp is not None:
         spliced = L.splice_prompt_tokens(x_last, dp[n_layers - 1], text_side=False)
         x_last = jnp.where(flags[n_layers - 1], spliced, x_last)
-    x12 = L.residual_block(tail, x_last, cfg.heads)
+    if cls_only:
+        x12 = L.residual_block_cls(tail, x_last, cfg.heads)
+    else:
+        x12 = L.residual_block(tail, x_last, cfg.heads)
 
     x12 = L.layer_norm(params["ln_post"], x12)
     xproj = jnp.dot(x12, params["proj"].astype(x12.dtype))

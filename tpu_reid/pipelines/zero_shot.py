@@ -95,7 +95,9 @@ def make_zeroshot_embed(clip_params: dict, cfg: CLIPConfig):
     if cfg.vision is not None:
 
         def embed(params, images):
-            _, x12, xproj = V.apply_vit(params["visual"], cfg.vision, images)
+            _, x12, xproj = V.apply_vit(
+                params["visual"], cfg.vision, images, cls_only=True
+            )
             return jnp.concatenate([x12[:, 0], xproj[:, 0]], axis=-1)
 
     else:

@@ -107,7 +107,7 @@ def _visual_for_task(params: dict, cfg: MultitaskModelConfig, task: int):
 
 def encode_image_mt(params, cfg: MultitaskModelConfig, task: int, images):
     visual, vcfg = _visual_for_task(params, cfg, task)
-    x11, x12, xproj = V.apply_vit(visual, vcfg, images)
+    x11, x12, xproj = V.apply_vit(visual, vcfg, images, cls_only=True)
     return x11[:, 0], x12[:, 0], xproj[:, 0]
 
 
