@@ -1,0 +1,219 @@
+"""Synthetic Market-1501-scale workload generator.
+
+Creates everything an end-to-end eval or training run needs, at real
+Market-1501 scale, with NO external downloads (the environment has no
+egress):
+
+  * `Market1501/` directory tree in the reference's layout
+    (bounding_box_train / query / bounding_box_test, filenames
+    `{pid:04d}_c{cam}s{seq}_{frame:06d}_{idx:02d}.jpg` — reference parser:
+    datasets/dataset_market.py:55-79),
+  * a random ViT-B/16 checkpoint in OpenAI CLIP state-dict format
+    (square 224-grid positional embedding; the converter bicubic-resizes
+    it to the rectangular ReID grid, reference: coop.py:474-481),
+  * a BPE merges file sized to the checkpoint's vocabulary,
+  * `market_attribute.mat` covering every identity (27 attribute rows +
+    image_index, reference: data_prepare.py:297-316).
+
+Identity signal: images of one identity share a low-resolution random
+pattern (upsampled, plus per-image noise/brightness/shift). A frozen
+random encoder preserves input similarity, so retrieval mAP on this
+workload is far above chance — which makes host-vs-device mAP deltas a
+meaningful parity measurement (agreement at mAP≈0 or mAP=1 proves
+nothing).
+
+    python -m tpu_reid.tools.synth_market --out /tmp/market_scale
+    python -m tpu_reid.tools.synth_market --out /tmp/market_small \
+        --train_ids 20 --test_ids 20 --query 60 --gallery 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _identity_pattern(rng: np.random.RandomState, hw) -> np.ndarray:
+    """Per-identity signature: low-res random palette, bilinear-upsampled."""
+    h, w = hw
+    lo = rng.randint(0, 255, (8, 4, 3)).astype(np.float32)
+    yi = np.linspace(0, 7, h)
+    xi = np.linspace(0, 3, w)
+    y0 = np.floor(yi).astype(int); y1 = np.minimum(y0 + 1, 7)
+    x0 = np.floor(xi).astype(int); x1 = np.minimum(x0 + 1, 3)
+    fy = (yi - y0)[:, None, None]; fx = (xi - x0)[None, :, None]
+    top = lo[y0][:, x0] * (1 - fx) + lo[y0][:, x1] * fx
+    bot = lo[y1][:, x0] * (1 - fx) + lo[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _render(rng, pattern, hw) -> np.ndarray:
+    h, w = hw
+    img = pattern.copy()
+    img += rng.normal(0, 28.0, img.shape)              # per-image noise
+    img += rng.uniform(-18, 18)                        # brightness jitter
+    shift = rng.randint(-3, 4)
+    img = np.roll(img, shift, axis=1)                  # small translation
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def write_images(base, rng, n_train_ids, n_test_ids, n_query, n_gallery, hw):
+    from PIL import Image
+
+    for sub in ("bounding_box_train", "query", "bounding_box_test"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    train_pids = list(range(1, n_train_ids + 1))
+    test_pids = list(range(n_train_ids + 1, n_train_ids + n_test_ids + 1))
+    patterns = {}
+
+    def save(sub, pid, cam, frame, idx):
+        if pid not in patterns:
+            patterns[pid] = _identity_pattern(rng, hw)
+        img = _render(rng, patterns[pid], hw)
+        name = f"{pid:04d}_c{cam}s1_{frame:06d}_{idx:02d}.jpg"
+        Image.fromarray(img).save(
+            os.path.join(base, sub, name), quality=90
+        )
+
+    # train: ~17 images/id across 6 cams (real Market: 12936/751)
+    n_total = 0
+    for pid in train_pids:
+        for k in range(17):
+            save("bounding_box_train", pid, 1 + k % 6, k, 0)
+            n_total += 1
+
+    # query: round-robin over test ids; camera 1+i%3
+    for i in range(n_query):
+        pid = test_pids[i % n_test_ids]
+        save("query", pid, 1 + (i // n_test_ids) % 3, i, 0)
+
+    # gallery: every id appears on cameras OTHER than some query cams too
+    # (cross-camera protocol needs same-id/different-cam matches)
+    for i in range(n_gallery):
+        pid = test_pids[i % n_test_ids]
+        save("bounding_box_test", pid, 1 + (i // n_test_ids) % 6, i, 1)
+
+    return n_total
+
+
+def write_attributes(path, n_ids_total):
+    """27-row market_attribute.mat over identities 0001..{n}."""
+    from scipy import io as sio
+
+    rng = np.random.RandomState(7)
+    n = n_ids_total
+    rows = {}
+    names10 = ["age", "backpack", "bag", "handbag", "clothes", "down", "up",
+               "hair", "hat", "gender"]
+    for j, nm in enumerate(names10):
+        hi = 4 if nm == "age" else 2
+        rows[nm] = [rng.randint(1, hi + 1, n).tolist()]
+    for c in range(8):
+        rows[f"up{c}"] = [rng.randint(1, 3, n).tolist()]
+    for c in range(9):
+        rows[f"down{c}"] = [rng.randint(1, 3, n).tolist()]
+    idx_cell = np.empty((1, n), object)
+    for j in range(n):
+        idx_cell[0, j] = np.array([f"{j + 1:04d}"])
+    rows["image_index"] = [idx_cell]
+    split = np.array([tuple(rows[k] for k in rows)],
+                     dtype=[(k, object) for k in rows])
+    mat = np.array([[(split,)]], dtype=[("train", object)])
+    sio.savemat(path, {"market_attribute": mat})
+
+
+def make_vit_b16_state_dict(rng: np.random.RandomState, vocab: int) -> dict:
+    """Random full-size ViT-B/16 CLIP state dict, OpenAI key layout
+    (reference shape contract: coop.py:441-466)."""
+    sd = {}
+    vw, vl, tw, tl, emb, grid, ctx = 768, 12, 512, 12, 512, 14, 77
+
+    def blocks(prefix, width, layers):
+        s = width ** -0.5
+        for i in range(layers):
+            pre = f"{prefix}.{i}"
+            sd[f"{pre}.attn.in_proj_weight"] = rng.randn(3 * width, width) * s
+            sd[f"{pre}.attn.in_proj_bias"] = np.zeros(3 * width)
+            sd[f"{pre}.attn.out_proj.weight"] = rng.randn(width, width) * s * 0.5
+            sd[f"{pre}.attn.out_proj.bias"] = np.zeros(width)
+            sd[f"{pre}.ln_1.weight"] = np.ones(width)
+            sd[f"{pre}.ln_1.bias"] = np.zeros(width)
+            sd[f"{pre}.ln_2.weight"] = np.ones(width)
+            sd[f"{pre}.ln_2.bias"] = np.zeros(width)
+            sd[f"{pre}.mlp.c_fc.weight"] = rng.randn(4 * width, width) * s * 0.7
+            sd[f"{pre}.mlp.c_fc.bias"] = np.zeros(4 * width)
+            sd[f"{pre}.mlp.c_proj.weight"] = rng.randn(width, 4 * width) * s * 0.35
+            sd[f"{pre}.mlp.c_proj.bias"] = np.zeros(width)
+
+    s = vw ** -0.5
+    sd["visual.conv1.weight"] = rng.randn(vw, 3, 16, 16) * s
+    sd["visual.class_embedding"] = rng.randn(vw) * s
+    sd["visual.positional_embedding"] = rng.randn(grid * grid + 1, vw) * s
+    sd["visual.ln_pre.weight"] = np.ones(vw)
+    sd["visual.ln_pre.bias"] = np.zeros(vw)
+    blocks("visual.transformer.resblocks", vw, vl)
+    sd["visual.ln_post.weight"] = np.ones(vw)
+    sd["visual.ln_post.bias"] = np.zeros(vw)
+    sd["visual.proj"] = rng.randn(vw, emb) * s
+
+    sd["token_embedding.weight"] = rng.randn(vocab, tw) * 0.02
+    sd["positional_embedding"] = rng.randn(ctx, tw) * 0.01
+    blocks("transformer.resblocks", tw, tl)
+    sd["ln_final.weight"] = np.ones(tw)
+    sd["ln_final.bias"] = np.zeros(tw)
+    sd["text_projection"] = rng.randn(tw, emb) * tw ** -0.5
+    sd["logit_scale"] = np.asarray(np.log(1 / 0.07))
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", required=True)
+    p.add_argument("--train_ids", type=int, default=751)
+    p.add_argument("--test_ids", type=int, default=750)
+    p.add_argument("--query", type=int, default=3368)
+    p.add_argument("--gallery", type=int, default=15913)
+    p.add_argument("--hw", type=int, nargs=2, default=(128, 64))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip_checkpoint", action="store_true")
+    args = p.parse_args()
+
+    rng = np.random.RandomState(args.seed)
+    base = os.path.join(args.out, "Market1501")
+    n_train = write_images(
+        base, rng, args.train_ids, args.test_ids, args.query, args.gallery,
+        tuple(args.hw),
+    )
+    print(f"images: {n_train} train / {args.query} query / "
+          f"{args.gallery} gallery under {base}")
+
+    write_attributes(
+        os.path.join(args.out, "market_attribute.mat"),
+        args.train_ids + args.test_ids,
+    )
+
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    merges = [("p", "h"), ("ph", "o"), ("o", "f</w>"), ("t", "h"),
+              ("th", "e</w>"), ("a", "n"), ("an", "d</w>")]
+    write_test_merges(os.path.join(args.out, "merges.txt.gz"), merges)
+    vocab = 2 * 256 + len(merges) + 2
+
+    if not args.skip_checkpoint:
+        import torch
+
+        sd = make_vit_b16_state_dict(np.random.RandomState(args.seed + 1),
+                                     vocab)
+        torch.save(
+            {k: torch.from_numpy(v) for k, v in sd.items()},
+            os.path.join(args.out, "vit_b16_random.pth"),
+        )
+        print(f"checkpoint: vit_b16_random.pth (vocab {vocab})")
+    print("DONE")
+
+
+if __name__ == "__main__":
+    main()
