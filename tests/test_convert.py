@@ -186,3 +186,44 @@ def test_metaclip_hf_bin_roundtrip(tmp_path):
         assert cfg == cfg0
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params0)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_vit_b16_full_geometry_parity():
+    """Full flagship geometry: real ViT-B/16 dimensions (768x12, heads 12)
+    at 256x128 stride 12 (S=211), converted from a random OpenAI-format
+    checkpoint with the 14x14 pos-embed bicubic-resized to 21x10 — fp32
+    forward parity vs the torch oracle at all three feature levels
+    (VERDICT r1 #3a; protocol: reference coop.py:441-490, maple.py:754-785).
+    """
+    from tpu_reid.tools.synth_market import make_vit_b16_state_dict
+
+    sd = make_vit_b16_state_dict(np.random.RandomState(42), vocab=520)
+    cfg, params = convert_clip(sd, image_hw=(256, 128), stride=12)
+    assert (cfg.vision.h_grid, cfg.vision.w_grid) == (21, 10)
+    assert cfg.vision.width == 768 and cfg.vision.layers == 12
+
+    rng = np.random.RandomState(43)
+    images = rng.randn(2, 256, 128, 3).astype(np.float32)
+    x11, x12, xproj = V.apply_vit(
+        params["visual"], cfg.vision, jnp.asarray(images)
+    )
+    sd2 = dict(sd)
+    sd2["visual.positional_embedding"] = resize_pos_embed(
+        sd["visual.positional_embedding"], 21, 10
+    )
+    o11, o12, oproj = oracle.vit_forward(
+        sd2, images.transpose(0, 3, 1, 2), stride=12, n_layers=12, n_heads=12
+    )
+    # fp32 over 12 real-width layers: allow ~1e-3 absolute on O(1) features
+    np.testing.assert_allclose(np.asarray(x11), o11, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(x12), o12, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(xproj), oproj, atol=2e-3, rtol=1e-3)
+
+    # CLS-only fast path agrees at full geometry too
+    _, c12, cproj = V.apply_vit(
+        params["visual"], cfg.vision, jnp.asarray(images), cls_only=True
+    )
+    np.testing.assert_allclose(np.asarray(c12[:, 0]), o12[:, 0],
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(cproj[:, 0]), oproj[:, 0],
+                               atol=2e-3, rtol=1e-3)
