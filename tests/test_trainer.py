@@ -384,3 +384,71 @@ def test_padded_batch_changes_nothing_stage1_live():
     assert abs(float(loss_ref) - float(loss_pad)) < 1e-4
     for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pad)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_stage1_live_step_8dev():
+    """ivlp live stage-1 over the mesh: the encoder runs inside shard_map
+    (per-device local batches -> fused-kernel-capable) while the SupCon
+    mining stays global — loss and updated params must equal the
+    single-device step."""
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mcfg, params = tiny_model("ivlp")
+    mesh = make_mesh()
+    tcfg = TR.TrainConfig()
+    trainable, frozen = O.partition(
+        params, lambda p: M.stage1_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
+    opt_state = optimizer.init(trainable)
+    images, labels, valid = fake_batches(1, bs=16)[0]
+    batch = {"images": images, "labels": labels,
+             "valid": jnp.asarray(valid)}
+
+    step_m = TR.make_stage1_step(mcfg, optimizer, cached=False, mesh=mesh)
+    tm, _, loss_m = step_m(
+        replicate(mesh, trainable), replicate(mesh, frozen),
+        replicate(mesh, opt_state),
+        {"images": shard_batch(mesh, images),
+         "labels": shard_batch(mesh, labels),
+         "valid": shard_batch(mesh, jnp.asarray(valid))},
+    )
+    step_1 = TR.make_stage1_step(mcfg, optimizer, cached=False)
+    t1, _, loss_1 = step_1(trainable, frozen, optimizer.init(trainable), batch)
+    assert abs(float(loss_m) - float(loss_1)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sharded_stage2_promptsrc_8dev():
+    """promptsrc stage 2 over the mesh: the frozen ZS teacher encode runs
+    inside the shard_map too; distill term included, parity vs single."""
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mcfg, params = tiny_model("promptsrc")
+    mesh = make_mesh()
+    tcfg = TR.TrainConfig()
+    text_features = M.all_class_text_features(params, mcfg)
+    trainable, frozen = O.partition(
+        params, lambda p: M.stage2_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage2, bias_lr_mult=2.0)
+    opt_state = optimizer.init(trainable)
+    images, labels, _ = fake_batches(1, bs=16)[0]
+
+    step_m = TR.make_stage2_step(mcfg, tcfg, optimizer, mesh=mesh)
+    tm, fm, _, loss_m = step_m(
+        replicate(mesh, trainable), replicate(mesh, frozen),
+        replicate(mesh, opt_state),
+        shard_batch(mesh, images), shard_batch(mesh, labels),
+        replicate(mesh, text_features),
+        shard_batch(mesh, jnp.ones((16,), bool)),
+    )
+    step_1 = TR.make_stage2_step(mcfg, tcfg, optimizer)
+    t1, f1, _, loss_1 = step_1(
+        trainable, frozen, optimizer.init(trainable), images, labels,
+        text_features, jnp.ones((16,), bool),
+    )
+    assert abs(float(loss_m) - float(loss_1)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -162,15 +162,37 @@ def all_class_text_features(
     return jnp.concatenate(chunks, axis=0)[:n]
 
 
+def encode_train_features(
+    params: dict, cfg: ReidModelConfig, images: jax.Array
+) -> dict:
+    """Image-side training encode: the feature triple (+ the frozen ZS
+    teacher's non-proj feature for promptsrc). This is the hot encoder
+    path — the multi-chip trainers shard_map exactly THIS function
+    (per-device local batches, so the fused Pallas kernels engage) while
+    heads and losses stay at the jit level where XLA gives them
+    global-batch semantics (BN stats, triplet/SupCon mining over the full
+    batch, matching the reference's single-device batch-global mining,
+    losses.py:31-83)."""
+    feats = encode_image_features(params, cfg, images)
+    if cfg.mode == "promptsrc":
+        _, zs_non_proj, _ = V.apply_vit(
+            params["zs_visual"], cfg.clip.vision, images, cls_only=True
+        )
+        feats["zs_non_proj"] = jax.lax.stop_gradient(zs_non_proj[:, 0])
+    return feats
+
+
 def forward_train(
     params: dict, cfg: ReidModelConfig, images: jax.Array, train: bool = True,
-    valid: Optional[jax.Array] = None,
+    valid: Optional[jax.Array] = None, encode_fn=None,
 ) -> dict:
     """Training-time forward for the stage-2 loss (reference:
     prompt_learning.py:301-317): ID logits at both BNNeck levels + the
     feature triple + optionally the frozen ZS teacher's non-proj feature.
-    valid: (B,) row mask — padded rows stay out of the BNNeck batch stats."""
-    feats = encode_image_features(params, cfg, images)
+    valid: (B,) row mask — padded rows stay out of the BNNeck batch stats.
+    encode_fn overrides encode_train_features (multi-chip trainers pass a
+    shard_map-wrapped version)."""
+    feats = (encode_fn or encode_train_features)(params, cfg, images)
     head = H.apply_classifier(
         params["head"], feats["non_proj"], feats["proj"], train=train,
         valid=valid,
@@ -181,11 +203,8 @@ def forward_train(
         "proj": feats["proj"],
         "bn_stats": head["new_stats"],
     }
-    if cfg.mode == "promptsrc":
-        _, zs_non_proj, _ = V.apply_vit(
-            params["zs_visual"], cfg.clip.vision, images, cls_only=True
-        )
-        out["zs_non_proj"] = jax.lax.stop_gradient(zs_non_proj[:, 0])
+    if "zs_non_proj" in feats:
+        out["zs_non_proj"] = feats["zs_non_proj"]
     return out
 
 
