@@ -198,3 +198,55 @@ def test_prompt_learning_cli_bf16(assets, monkeypatch, tmp_path):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_promptsrc_metaclip_teacher(assets, monkeypatch,
+                                                    tmp_path):
+    """promptsrc with --zs_weights: the frozen ZS teacher loads from a
+    SEPARATE HF-layout .bin checkpoint (the reference's MetaCLIP teacher
+    intent, prompt_learning.py:695) and actually changes the distill
+    target vs the default copy-of-student teacher."""
+    import numpy as np
+    import torch
+
+    import tests.torch_oracle as oracle
+    from tpu_reid.cli import prompt_learning as cli
+
+    # a second, different checkpoint in HF .bin layout (same architecture)
+    sd2 = oracle.make_clip_state_dict(
+        np.random.RandomState(7), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    teacher = str(tmp_path / "metaclip_teacher.bin")
+    torch.save({k: torch.from_numpy(v) for k, v in sd2.items()}, teacher)
+
+    argv = ["prompt_learning",
+            "--root", assets["root"],
+            "--model_path", assets["ckpt"],
+            "--bpe_path", assets["merges"],
+            "--height", "32", "--stride", "8", "--bs", "8",
+            "--epochs_stage1", "1", "--epochs_stage2", "1",
+            "--training_mode", "promptsrc",
+            "--zs_weights", teacher,
+            "--save_path", str(tmp_path / "ckpts")]
+    monkeypatch.setattr(sys, "argv", argv)
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+    # the teacher tower really is the second checkpoint, not a student copy
+    from tpu_reid.data.datasets import get_dataset
+
+    n_cls = get_dataset(assets["root"], "market1501").num_train_pids
+    mcfg, params, _ = cli.build_model(
+        type("A", (), {
+            "height": 32, "ratio": 0.5, "stride": 8, "vpt_ctx": 2,
+            "training_mode": "promptsrc", "model_path": assets["ckpt"],
+            "bpe_path": assets["merges"], "pretrained_vpt": None,
+            "zs_weights": teacher, "train_dataset": "market1501",
+            "seed": 0,
+        })(), n_cls)
+    assert not np.allclose(
+        np.asarray(params["zs_visual"]["proj"]),
+        np.asarray(params["clip"]["visual"]["proj"]),
+    )

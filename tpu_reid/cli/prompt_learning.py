@@ -36,6 +36,10 @@ def params_parser():
     p.add_argument("--train_dataset", default="market1501", type=str)
     p.add_argument("--test_dataset", default=None, type=str,
                    help="defaults to --train_dataset")
+    p.add_argument("--zs_weights", default=None, type=str,
+                   help="separate checkpoint for the promptsrc zero-shot "
+                        "teacher (e.g. MetaCLIP HF .bin; reference: "
+                        "prompt_learning.py:695)")
     p.add_argument("--pretrained_vpt", default=None, type=str,
                    help="IVLP ImageNet-pretrained VPT checkpoint "
                         "(reference: clip_imagenet_pretrained_ivlp.pth.tar-5)")
@@ -145,13 +149,32 @@ def build_model(args, n_cls: int, car_types=None):
     )
     zs = None
     if args.training_mode == "promptsrc":
-        # frozen zero-shot teacher = a copy of the pretrained tower
-        # (the reference multitask path builds it via a depth-0 maple model,
-        # prompt_learning_multitask.py:760-771; the promptsrc call in
-        # prompt_learning.py:695 crashes as written — SURVEY.md §7)
         import jax.numpy as jnp
 
-        zs = jax.tree.map(jnp.array, clip_params["visual"])
+        if args.zs_weights:
+            # frozen zero-shot teacher from a SEPARATE checkpoint — the
+            # reference's intent is a MetaCLIP HF .bin teacher
+            # (prompt_learning.py:695, which crashes as written; its
+            # metaclip builder would run the weights through QuickGELU
+            # anyway, metaclip.py:589, so the shared tower math here is
+            # behaviorally faithful). Any supported format works; the
+            # architecture must match the student's.
+            zs_cfg, zs_params = convert_clip(
+                load_state_dict(args.zs_weights), image_hw=(h, w),
+                stride=args.stride,
+            )
+            assert (
+                zs_cfg.vision is not None
+                and zs_cfg.vision.width == cfg.vision.width
+                and zs_cfg.vision.layers == cfg.vision.layers
+                and zs_cfg.vision.patch_size == cfg.vision.patch_size
+            ), "ZS teacher architecture must match the student tower"
+            zs = jax.tree.map(jnp.array, zs_params["visual"])
+        else:
+            # teacher = a copy of the pretrained tower (the reference
+            # multitask path builds it via a depth-0 maple model,
+            # prompt_learning_multitask.py:760-771)
+            zs = jax.tree.map(jnp.array, clip_params["visual"])
     params = M.init_reid_model(
         jax.random.key(args.seed), mcfg, clip_params, temb, tokens,
         zs_visual_params=zs,

@@ -175,8 +175,17 @@ def encode_train_features(
     losses.py:31-83)."""
     feats = encode_image_features(params, cfg, images)
     if cfg.mode == "promptsrc":
+        # the teacher is a VANILLA tower — design stripped so no prompt
+        # tokens are spliced into its sequence (the reference builds its
+        # working ZS teacher with depth-0 design details,
+        # prompt_learning_multitask.py:760-771)
+        from tpu_reid.configs import PromptDesign
+
+        zs_cfg = dataclasses.replace(
+            cfg.clip.vision, design=PromptDesign()
+        )
         _, zs_non_proj, _ = V.apply_vit(
-            params["zs_visual"], cfg.clip.vision, images, cls_only=True
+            params["zs_visual"], zs_cfg, images, cls_only=True
         )
         feats["zs_non_proj"] = jax.lax.stop_gradient(zs_non_proj[:, 0])
     return feats
