@@ -257,11 +257,21 @@ def main():
         done_stage = int(np.asarray(restored["stage"]))
         log.log("resume", stage=done_stage, epoch=mgr.latest_epoch())
 
+    from tpu_reid.runtime.guard import TrainGuard
+
+    def make_guard():
+        # divergence rollback, always on: snapshots every 50 steps, rolls
+        # back and skips the batch on a non-finite loss (SURVEY §5 gap)
+        return TrainGuard(
+            snapshot_every=50, max_restores=3,
+            log=lambda s: log.log("guard", msg=s),
+        )
+
     if done_stage < 1:
         with log.phase("stage1"):
             params = TR.run_stage1(
                 params, mcfg, tcfg, stage1_batches, epochs=args.epochs_stage1,
-                batch_size=args.bs,
+                batch_size=args.bs, guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
                 checkpoint_cb=lambda e, p: mgr.maybe_save(
                     e, {"params": p, "stage": 0}
@@ -273,6 +283,7 @@ def main():
         with log.phase("stage2"):
             params = TR.run_stage2(
                 params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
+                guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
                 checkpoint_cb=lambda e, p: mgr.maybe_save(
                     args.epochs_stage1 + e, {"params": p, "stage": 1}

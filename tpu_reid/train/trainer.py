@@ -192,6 +192,7 @@ def run_stage1(
     log: Callable[[str], None] = print,
     checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
     cached_order: Optional[Callable[[int, np.ndarray], Iterable]] = None,
+    guard=None,
 ) -> dict:
     """epoch_batches(epoch) yields (images_u8 or images, labels, valid)
     device-ready batches. batch_size drives the cached-feature path's step
@@ -221,9 +222,22 @@ def run_stage1(
         n = labels.shape[0]
         rng = np.random.default_rng(seed)
 
+    def guarded_step(gstep, batch):
+        nonlocal trainable, opt_state
+        if guard is not None:
+            guard.maybe_snapshot(gstep, trainable, opt_state)
+        trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
+        lf = float(loss)
+        if guard is not None:
+            (trainable, opt_state), ok = guard.check(lf, trainable, opt_state)
+            if not ok:
+                return None
+        return lf
+
     gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
     gpa = None
     bs = None
+    gstep = 0
     for epoch in range(1, epochs + 1):
         lr = S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
         opt_state = O.set_lr(opt_state, lr)
@@ -249,10 +263,10 @@ def run_stage1(
                     "labels": labels[sel],
                     "valid": jnp.asarray(valid),
                 }
-                trainable, opt_state, loss = step(
-                    trainable, frozen, opt_state, batch
-                )
-                losses.append(float(loss))
+                lf = guarded_step(gstep, batch)
+                gstep += 1
+                if lf is not None:
+                    losses.append(lf)
         else:
             for images, lab, valid in epoch_batches(epoch):
                 batch = {
@@ -260,10 +274,10 @@ def run_stage1(
                     "labels": lab,
                     "valid": jnp.asarray(np.asarray(valid)),
                 }
-                trainable, opt_state, loss = step(
-                    trainable, frozen, opt_state, batch
-                )
-                losses.append(float(loss))
+                lf = guarded_step(gstep, batch)
+                gstep += 1
+                if lf is not None:
+                    losses.append(lf)
         if cfg.mode == "promptsrc":
             gpa = O.gpa_update(
                 gpa, O.combine(trainable, frozen), gw[epoch - 1]
@@ -363,7 +377,12 @@ def run_stage2(
     mesh=None,
     log: Callable[[str], None] = print,
     checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
+    guard=None,
 ) -> dict:
+    """guard: optional runtime.guard.TrainGuard — snapshots
+    (trainable, frozen, opt_state) periodically and rolls all three back
+    when a step yields a non-finite loss (frozen carries the BNNeck
+    running stats, which a diverged step also poisons)."""
     epochs = epochs or tcfg.epochs_stage2
     params = jax.tree.map(jnp.asarray, params)  # commit to device once
     text_features = jax.lax.stop_gradient(
@@ -380,16 +399,27 @@ def run_stage2(
 
     gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
     gpa = None
+    gstep = 0
     for epoch in range(epochs):
         lr = S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
         opt_state = O.set_lr(opt_state, lr)
         losses = []
         for images, labels, valid in epoch_batches(epoch):
+            if guard is not None:
+                guard.maybe_snapshot(gstep, trainable, frozen, opt_state)
             trainable, frozen, opt_state, loss = step(
                 trainable, frozen, opt_state, images, labels, text_features,
                 jnp.asarray(np.asarray(valid)),
             )
-            losses.append(float(loss))
+            gstep += 1
+            lf = float(loss)
+            if guard is not None:
+                (trainable, frozen, opt_state), ok = guard.check(
+                    lf, trainable, frozen, opt_state
+                )
+                if not ok:
+                    continue
+            losses.append(lf)
         if cfg.mode == "promptsrc":
             gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
         if losses:
