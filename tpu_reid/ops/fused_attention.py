@@ -89,6 +89,30 @@ def fused_block_viable(s: int, d: int, hid: int) -> bool:
     return mha_block_b(s, d) is not None and mlp_block_b(s, d, hid) is not None
 
 
+def _block_elems(bb: int, s_pad: int, d: int, hid: int) -> int:
+    # all block weights resident + mask + x/qkv/hidden/score activations
+    return (
+        12 * d * d + 2 * s_pad * s_pad
+        + bb * s_pad * (8 * d + 2 * hid) + 2 * bb * s_pad * s_pad
+    )
+
+
+_BLOCK_ELEM_BUDGET = 32_000_000
+
+
+def block_block_b(s: int, d: int, hid: int, requested: int = 2) -> Optional[int]:
+    """Batch-block for the WHOLE-block megakernel (None -> use the
+    two-kernel path). bb=2 measured fastest at ViT-B geometry: 10.3 vs
+    11.5 (bb=4) / 10.7 (bb=1) / 12.3 ms per layer for the kernel pair."""
+    s_pad = max(_round_up(s, 8), 128)
+    bb = requested
+    while bb >= 1:
+        if _block_elems(bb, s_pad, d, hid) <= _BLOCK_ELEM_BUDGET:
+            return bb
+        bb //= 2
+    return None
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
     """fp32-statistics LayerNorm over the last axis (matches models.layers)."""
     x32 = x.astype(jnp.float32)
@@ -319,4 +343,201 @@ def fused_mlp(
     )(xp, ln_scale.astype(x.dtype).reshape(1, -1),
       ln_bias.astype(x.dtype).reshape(1, -1),
       w_fc, b_fc.reshape(1, -1), w_proj, b_proj.reshape(1, -1))
+    return out[:b, :s]
+
+
+# ---------------------------------------------------------------------------
+# whole-block megakernel: ln1 + attention + residual + ln2 + mlp + residual
+# in ONE pallas program — the post-attention sequence never touches HBM and
+# the grid runs half as many steps as the two-kernel pair. Measured (v5e,
+# B=512, S=211, ViT-B, 12 chained layers in one jit): 10.3 ms/layer at
+# block_b=2 vs 12.3 ms/layer for the fused_mha+fused_mlp pair.
+# ---------------------------------------------------------------------------
+
+
+def _whole_block_kernel(
+    x_ref, l1s_ref, l1b_ref, win_ref, bin_ref, wout_ref, bout_ref,
+    l2s_ref, l2b_ref, wfc_ref, bfc_ref, wpj_ref, bpj_ref, mask_ref,
+    plane_ref, pmask_ref, o_ref,
+    *, s_actual: int, n_heads: int, has_mask: bool, has_prompt: bool,
+):
+    x_in = x_ref[...]  # (NB, S_pad, D)
+    if has_prompt:
+        # deep-prompt splice fused into the block: replace the prompt-token
+        # rows with this layer's tokens entirely in VMEM (the out-of-kernel
+        # concat+select costs ~0.76 ms/layer of HBM traffic at ViT-B
+        # geometry, reference semantics: maple.py:617-644)
+        x_in = jnp.where(pmask_ref[...][None] > 0, plane_ref[...][None],
+                         x_in)
+    x = _layer_norm(x_in, l1s_ref[...], l1b_ref[...])
+    nb, s_pad, d = x.shape
+    dh = d // n_heads
+    scale = 1.0 / np.sqrt(dh)
+    qkv = lax.dot_general(
+        x, win_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bin_ref[...][None]).astype(x.dtype)
+    col = lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
+    outs = []
+    for h in range(n_heads):
+        q = qkv[:, :, h * dh : (h + 1) * dh]
+        k = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        s = lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(col < s_actual, s, -1e30)
+        if has_mask:
+            s = s + mask_ref[...][None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / denom).astype(x.dtype))
+    attn = jnp.concatenate(outs, axis=-1)
+    proj = lax.dot_general(
+        attn, wout_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    x1 = (proj + bout_ref[...][None] + x_in.astype(jnp.float32)).astype(
+        x_in.dtype
+    )
+
+    h2 = _layer_norm(x1, l2s_ref[...], l2b_ref[...])
+    hid = lax.dot_general(
+        h2, wfc_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bfc_ref[...][None]
+    hid = hid * jax.nn.sigmoid(1.702 * hid)  # QuickGELU in fp32
+    y = lax.dot_general(
+        hid.astype(x.dtype), wpj_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (y + bpj_ref[...][None] + x1.astype(jnp.float32)).astype(
+        o_ref.dtype
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "block_b", "interpret")
+)
+def fused_block(
+    x: jax.Array,  # (B, S, D)
+    ln1_scale: jax.Array,
+    ln1_bias: jax.Array,
+    w_in: jax.Array,   # (D, 3D)
+    b_in: jax.Array,
+    w_out: jax.Array,  # (D, D)
+    b_out: jax.Array,
+    ln2_scale: jax.Array,
+    ln2_bias: jax.Array,
+    w_fc: jax.Array,   # (D, hid)
+    b_fc: jax.Array,
+    w_proj: jax.Array,  # (hid, D)
+    b_proj: jax.Array,
+    n_heads: int,
+    mask: Optional[jax.Array] = None,
+    block_b: Optional[int] = None,
+    interpret: bool = False,
+    prompt_plane: Optional[jax.Array] = None,  # (S, D) rows to splice in
+    prompt_mask: Optional[jax.Array] = None,   # (S, 1) >0 where to splice
+) -> jax.Array:
+    """One pre-norm transformer block as a single Pallas program.
+
+    prompt_plane/prompt_mask: optional fused deep-prompt splice — rows of
+    x where prompt_mask > 0 are replaced by prompt_plane BEFORE the block
+    (IVLP/MaPLe per-layer token replacement, reference maple.py:617-644),
+    without the separate HBM round-trip an out-of-kernel select costs."""
+    b, s, d = x.shape
+    hid = w_fc.shape[1]
+    if block_b is None:
+        block_b = block_block_b(s, d, hid)
+        if block_b is None:
+            raise ValueError(
+                f"fused_block: geometry (s={s}, d={d}, hid={hid}) exceeds "
+                "the VMEM budget even at block_b=1 — use the two-kernel or "
+                "XLA path"
+            )
+    s_pad = max(_round_up(s, 8), 128)
+    b_pad = _round_up(b, block_b)
+    xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
+    has_mask = mask is not None
+    maskp = (
+        jnp.maximum(
+            jnp.pad(mask.astype(jnp.float32),
+                    [(0, s_pad - s), (0, s_pad - s)]),
+            -1e30,
+        )
+        if has_mask else jnp.zeros((s_pad, s_pad), jnp.float32)
+    )
+    has_prompt = prompt_plane is not None
+    if has_prompt:
+        planep = jnp.pad(
+            prompt_plane.astype(x.dtype), [(0, s_pad - s), (0, 0)]
+        )
+        pmaskp = jnp.pad(
+            prompt_mask.astype(jnp.float32), [(0, s_pad - s), (0, 0)]
+        )
+    else:
+        planep = jnp.zeros((s_pad, d), x.dtype)
+        pmaskp = jnp.zeros((s_pad, 1), jnp.float32)
+    const = lambda i: (0, 0)
+    row = lambda n: pl.BlockSpec((1, n), const, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _whole_block_kernel, s_actual=s, n_heads=n_heads,
+            has_mask=has_mask, has_prompt=has_prompt,
+        ),
+        grid=(b_pad // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row(d), row(d),
+            pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
+            row(3 * d),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            row(d),
+            row(d), row(d),
+            pl.BlockSpec((d, hid), const, memory_space=pltpu.VMEM),
+            row(hid),
+            pl.BlockSpec((hid, d), const, memory_space=pltpu.VMEM),
+            row(d),
+            pl.BlockSpec((s_pad, s_pad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, 1), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, s_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_pad, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            # qkv/out/mlp gemms (4d^2 + 2d*hid MACs/token) + attention core
+            flops=2 * b_pad * s_pad * (4 * d * d + 2 * d * hid)
+            + 4 * b_pad * s_pad * s_pad * d,
+            bytes_accessed=2 * b_pad * s_pad * d * x.dtype.itemsize
+            + (4 * d * d + 2 * d * hid) * x.dtype.itemsize,
+            transcendentals=b_pad * s_pad * (n_heads * s_pad + hid),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp,
+      ln1_scale.astype(x.dtype).reshape(1, -1),
+      ln1_bias.astype(x.dtype).reshape(1, -1),
+      w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1),
+      ln2_scale.astype(x.dtype).reshape(1, -1),
+      ln2_bias.astype(x.dtype).reshape(1, -1),
+      w_fc, b_fc.reshape(1, -1), w_proj, b_proj.reshape(1, -1),
+      maskp, planep, pmaskp)
     return out[:b, :s]
