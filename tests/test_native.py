@@ -100,3 +100,30 @@ def test_native_throughput(jpegs):
     rate = 256 / dt
     print(f"native decode+resize: {rate:.0f} img/s")
     assert rate > 200  # very loose lower bound
+
+
+def test_decode_pool_matches_batch(tmp_path):
+    """Persistent-pool path == per-call pool path, across multiple batches
+    on one pool (workers park and re-wake)."""
+    native = pytest.importorskip("tpu_reid.native")
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (40 + i, 30, 3), np.uint8)
+        ).save(p, quality=95)
+        paths.append(str(p))
+
+    pool = native.DecodePool(2)
+    try:
+        for batch in (paths[:3], paths[3:], paths):  # reuse across batches
+            got = pool.run(batch, (32, 16))
+            want = native.decode_resize_batch(batch, (32, 16))
+            np.testing.assert_array_equal(got, want)
+    finally:
+        pool.close()

@@ -79,6 +79,7 @@ class BatchLoader:
         self.drop_tail = drop_tail
         assert backend in ("auto", "native", "pil"), backend
         self._native = False
+        self._native_pool = None
         if transform is None and backend in ("auto", "native"):
             from tpu_reid import native
 
@@ -117,11 +118,12 @@ class BatchLoader:
         if self._native:
             from tpu_reid import native
 
+            if self._native_pool is None:
+                # persistent worker pool: lives for the loader's lifetime
+                # instead of spinning C++ threads up/down every batch
+                self._native_pool = native.DecodePool(self.num_workers)
             paths = [self.records[i][0] for i in idx]
-            native.decode_resize_batch(
-                paths, self.size_hw, out=images[: len(idx)],
-                n_threads=self.num_workers,
-            )
+            self._native_pool.run(paths, self.size_hw, out=images[: len(idx)])
             for slot, rec_i in enumerate(idx):
                 meta[:, slot] = self.records[rec_i][1:5]
                 valid[slot] = True

@@ -56,6 +56,15 @@ def _load() -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.reid_pool_create.restype = ctypes.c_void_p
+    lib.reid_pool_create.argtypes = [ctypes.c_int]
+    lib.reid_pool_run.restype = ctypes.c_int
+    lib.reid_pool_run.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.reid_pool_destroy.restype = None
+    lib.reid_pool_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -93,6 +102,56 @@ def decode_resize_batch(
     if failures == n and n > 0:
         raise ValueError(f"all {n} JPEG decodes failed (first: {paths[0]})")
     return out
+
+
+class DecodePool:
+    """Persistent native worker pool for batch decode+resize.
+
+    Unlike decode_resize_batch (which spins a C++ thread pool up and down
+    per call), workers here park between batches — one pool lives for a
+    whole gallery sweep. Python-side double buffering comes from
+    BatchLoader's producer/queue; this removes the per-batch thread churn
+    underneath it."""
+
+    def __init__(self, n_threads: int = 0):
+        self._lib = _load()
+        if n_threads <= 0:
+            n_threads = min(max(os.cpu_count() or 8, 1), 16)
+        self._pool = self._lib.reid_pool_create(n_threads)
+
+    def run(
+        self,
+        paths: Sequence[str],
+        size_hw: Tuple[int, int],
+        out: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        n = len(paths)
+        h, w = size_hw
+        if out is None:
+            out = np.zeros((n, h, w, 3), np.uint8)
+        assert out.shape == (n, h, w, 3) and out.dtype == np.uint8
+        assert out.flags["C_CONTIGUOUS"]
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        failures = self._lib.reid_pool_run(
+            self._pool, arr, n, h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        if failures == n and n > 0:
+            raise ValueError(
+                f"all {n} JPEG decodes failed (first: {paths[0]})"
+            )
+        return out
+
+    def close(self) -> None:
+        if getattr(self, "_pool", None):
+            self._lib.reid_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def decode_jpeg(path: str) -> np.ndarray:

@@ -16,10 +16,12 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -206,5 +208,111 @@ long reid_decode_jpeg(const char* path, unsigned char* out, long max_bytes,
   if (need > max_bytes) return -need;
   std::memcpy(out, rgb.data(), rgb.size());
   return need;
+}
+}
+
+// ---------------------------------------------------------------------------
+// Persistent worker pool: reid_decode_resize_batch spins threads up and down
+// on every call; at production batch rates the pool lives for the whole
+// sweep and batches are dispatched to already-parked workers. The Python
+// BatchLoader's producer/queue provides the double buffering; this removes
+// the per-batch thread churn underneath it.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ReidPool {
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work;   // workers wait for a new job
+  std::condition_variable cv_done;   // caller waits for job completion
+  // job description (valid while job_active)
+  const char** paths = nullptr;
+  int n = 0, out_h = 0, out_w = 0;
+  unsigned char* out = nullptr;
+  std::atomic<int> next{0};
+  std::atomic<int> failures{0};
+  int working = 0;        // workers still inside the current job
+  long job_seq = 0;       // bumped per job; workers track the last seen seq
+  bool stopping = false;
+
+  void WorkerLoop() {
+    long seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return stopping || job_seq != seen; });
+        if (stopping) return;
+        seen = job_seq;
+      }
+      const size_t img_bytes = size_t(out_h) * out_w * 3;
+      std::vector<unsigned char> rgb;
+      for (;;) {
+        const int i = next.fetch_add(1);
+        if (i >= n) break;
+        int w = 0, h = 0;
+        if (!DecodeJpeg(paths[i], &rgb, &w, &h)) {
+          std::memset(out + i * img_bytes, 0, img_bytes);
+          failures.fetch_add(1);
+          continue;
+        }
+        ResizeBicubic(rgb.data(), h, w, out + i * img_bytes, out_h, out_w);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (--working == 0) cv_done.notify_all();
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* reid_pool_create(int n_threads) {
+  auto* p = new ReidPool();
+  n_threads = std::max(1, n_threads);
+  p->workers.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    p->workers.emplace_back([p] { p->WorkerLoop(); });
+  }
+  return p;
+}
+
+// Synchronous batch on the persistent pool; returns the failure count.
+int reid_pool_run(void* pool, const char** paths, int n, int out_h,
+                  int out_w, unsigned char* out) {
+  auto* p = static_cast<ReidPool*>(pool);
+  if (n <= 0) return 0;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->paths = paths;
+    p->n = n;
+    p->out_h = out_h;
+    p->out_w = out_w;
+    p->out = out;
+    p->next.store(0);
+    p->failures.store(0);
+    p->working = int(p->workers.size());
+    ++p->job_seq;
+  }
+  p->cv_work.notify_all();
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_done.wait(lk, [&] { return p->working == 0; });
+  }
+  return p->failures.load();
+}
+
+void reid_pool_destroy(void* pool) {
+  auto* p = static_cast<ReidPool*>(pool);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stopping = true;
+  }
+  p->cv_work.notify_all();
+  for (auto& t : p->workers) t.join();
+  delete p;
 }
 }
