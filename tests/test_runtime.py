@@ -6,6 +6,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tpu_reid.runtime.checkpoint import (
@@ -64,3 +65,31 @@ def test_step_timer():
     dt = t.mark(jnp.ones((2, 2)))
     assert dt > 0
     assert t.ema is not None
+
+
+def test_checkpoint_extras_roundtrip(tmp_path):
+    """Optimizer-state companion checkpoints restore with exact optax
+    namedtuple structure (mid-run resume, VERDICT-era gap: save-only)."""
+    import optax
+
+    from tpu_reid.runtime.checkpoint import CheckpointManager
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    # advance one step so moments are non-trivial
+    g = jax.tree.map(jnp.ones_like, params)
+    up, state = opt.update(g, state, params)
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_interval=1)
+    assert mgr.maybe_save(0, {"params": params, "stage": 0,
+                              "epoch_in_stage": 0})
+    mgr.save_extras(0, {"opt_state": state})
+    restored = mgr.restore_extras(0, {"opt_state": opt.init(params)})
+    assert restored is not None
+    got = restored["opt_state"]
+    assert jax.tree.structure(got) == jax.tree.structure(state)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert mgr.restore_extras(7, {"opt_state": opt.init(params)}) is None
+    mgr.close()

@@ -452,3 +452,57 @@ def test_sharded_stage2_promptsrc_8dev():
     assert abs(float(loss_m) - float(loss_1)) < 1e-4
     for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_stage2_mid_resume_equals_straight_run():
+    """Resume with optimizer state: 2 epochs + (restore, 2 more) must equal
+    4 straight epochs EXACTLY — Adam moments carry the trajectory
+    (the reference cannot resume at all, SURVEY.md §5)."""
+    mcfg, params = tiny_model("coop")
+    tcfg = TR.TrainConfig()
+    batches = {e: fake_batches(2, bs=8, seed=100 + e) for e in range(4)}
+    epoch_fn = lambda e: iter(batches[e])
+
+    want = TR.run_stage2(params, mcfg, tcfg, epoch_fn, epochs=4,
+                         log=lambda s: None)
+
+    saved = {}
+
+    def cb(e, p, state):
+        if e == 1:
+            saved["params"] = p
+            saved["opt"] = state["opt_state"]
+
+    TR.run_stage2(params, mcfg, tcfg, epoch_fn, epochs=2,
+                  log=lambda s: None, checkpoint_cb=cb)
+    got = TR.run_stage2(saved["params"], mcfg, tcfg, epoch_fn, epochs=4,
+                        log=lambda s: None, start_epoch=2,
+                        init_opt_state=saved["opt"])
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_stage1_mid_resume_equals_straight_run():
+    """Same property for the stage-1 live (ivlp) path, including GPA-free
+    trajectory equality."""
+    mcfg, params = tiny_model("ivlp")
+    tcfg = TR.TrainConfig()
+    batches = {e: fake_batches(2, bs=8, seed=200 + e) for e in range(1, 5)}
+    epoch_fn = lambda e: iter(batches[e])
+
+    want = TR.run_stage1(params, mcfg, tcfg, epoch_fn, epochs=4,
+                         log=lambda s: None)
+    saved = {}
+
+    def cb(e, p, state):
+        if e == 2:
+            saved["params"] = p
+            saved["opt"] = state["opt_state"]
+
+    TR.run_stage1(params, mcfg, tcfg, epoch_fn, epochs=2,
+                  log=lambda s: None, checkpoint_cb=cb)
+    got = TR.run_stage1(saved["params"], mcfg, tcfg, epoch_fn, epochs=4,
+                        log=lambda s: None, start_epoch=3,
+                        init_opt_state=saved["opt"])
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

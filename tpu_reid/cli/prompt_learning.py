@@ -248,14 +248,45 @@ def main():
     )
     mgr = CheckpointManager(ckpt_dir, save_interval=20)
 
-    # --resume: restore the newest stage checkpoint and skip completed
-    # stages (the reference has no resume path at all — SURVEY.md §5)
+    # --resume: restore the newest checkpoint and continue EXACTLY where
+    # the run stopped — params, optimizer state and (promptsrc) the GPA
+    # accumulator, mid-stage (the reference has no resume at all,
+    # SURVEY.md §5). Markers: stage 0 = in stage 1, stage 1 + epoch -1 =
+    # stage 1 done, stage 1 + epoch e = in stage 2, stage 2 = finished.
     done_stage = 0
+    start1, start2 = 1, 0
+    opt1 = opt2 = gpa1 = gpa2 = None
     if args.resume and mgr.latest_epoch() is not None:
-        restored = mgr.restore(template={"params": params, "stage": 0})
+        step = mgr.latest_epoch()
+        restored = mgr.restore(
+            step,
+            template={"params": params, "stage": 0, "epoch_in_stage": 0},
+        )
         params = restored["params"]
         done_stage = int(np.asarray(restored["stage"]))
-        log.log("resume", stage=done_stage, epoch=mgr.latest_epoch())
+        e_in = int(np.asarray(restored["epoch_in_stage"]))
+        if done_stage == 0 and e_in >= 0:
+            tmpl = {"opt_state": TR.stage1_opt_state_template(
+                params, mcfg, tcfg)}
+            if args.training_mode == "promptsrc":
+                tmpl["gpa"] = params
+            extras = mgr.restore_extras(step, tmpl)
+            if extras is not None:
+                opt1 = extras["opt_state"]
+                gpa1 = extras.get("gpa")
+                start1 = e_in + 1
+        elif done_stage == 1 and e_in >= 0:
+            tmpl = {"opt_state": TR.stage2_opt_state_template(
+                params, mcfg, tcfg)}
+            if args.training_mode == "promptsrc":
+                tmpl["gpa"] = params
+            extras = mgr.restore_extras(step, tmpl)
+            if extras is not None:
+                opt2 = extras["opt_state"]
+                gpa2 = extras.get("gpa")
+                start2 = e_in + 1
+        log.log("resume", stage=done_stage, epoch=step,
+                epoch_in_stage=e_in)
 
     from tpu_reid.runtime.guard import TrainGuard
 
@@ -267,17 +298,29 @@ def main():
             log=lambda s: log.log("guard", msg=s),
         )
 
+    def cb(stage, step_of):
+        def _cb(e, p, state):
+            if mgr.maybe_save(
+                step_of(e),
+                {"params": p, "stage": stage, "epoch_in_stage": e},
+            ):
+                extras = {"opt_state": state["opt_state"]}
+                if state["gpa"] is not None:
+                    extras["gpa"] = state["gpa"]
+                mgr.save_extras(step_of(e), extras)
+        return _cb
+
     if done_stage < 1:
         with log.phase("stage1"):
             params = TR.run_stage1(
                 params, mcfg, tcfg, stage1_batches, epochs=args.epochs_stage1,
                 batch_size=args.bs, guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
-                checkpoint_cb=lambda e, p: mgr.maybe_save(
-                    e, {"params": p, "stage": 0}
-                ),
+                checkpoint_cb=cb(0, lambda e: e),
+                start_epoch=start1, init_opt_state=opt1, init_gpa=gpa1,
             )
-            mgr.save(args.epochs_stage1, {"params": params, "stage": 1})
+            mgr.save(args.epochs_stage1,
+                     {"params": params, "stage": 1, "epoch_in_stage": -1})
 
     if done_stage < 2:
         with log.phase("stage2"):
@@ -285,13 +328,12 @@ def main():
                 params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
                 guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
-                checkpoint_cb=lambda e, p: mgr.maybe_save(
-                    args.epochs_stage1 + e, {"params": p, "stage": 1}
-                ),
+                checkpoint_cb=cb(1, lambda e: args.epochs_stage1 + e),
+                start_epoch=start2, init_opt_state=opt2, init_gpa=gpa2,
             )
             mgr.save(
                 args.epochs_stage1 + args.epochs_stage2,
-                {"params": params, "stage": 2},
+                {"params": params, "stage": 2, "epoch_in_stage": -1},
             )
 
     with log.phase("test"):

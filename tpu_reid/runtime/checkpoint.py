@@ -53,11 +53,28 @@ class CheckpointManager:
             ),
         )
 
-    def maybe_save(self, epoch: int, payload: Any, last_epoch: bool = False):
+    def maybe_save(self, epoch: int, payload: Any,
+                   last_epoch: bool = False) -> bool:
         """Reference cadence: every `save_interval` epochs and at the end
-        (prompt_learning.py:472-474)."""
+        (prompt_learning.py:472-474). Returns True when a save happened."""
         if (epoch + 1) % self.save_interval == 0 or last_epoch:
             self.save(epoch, payload)
+            return True
+        return False
+
+    def save_extras(self, epoch: int, payload: Any) -> None:
+        """Companion payload (optimizer state / GPA accumulator) whose
+        pytree STRUCTURE differs per stage — optax states are namedtuples
+        that only restore correctly against a matching template, so they
+        live next to (not inside) the manager's epoch checkpoint."""
+        save_checkpoint(os.path.join(self.directory, f"extras_{epoch}"),
+                        payload)
+
+    def restore_extras(self, epoch: int, template: Any) -> Optional[Any]:
+        path = os.path.join(self.directory, f"extras_{epoch}")
+        if not os.path.exists(path):
+            return None
+        return load_checkpoint(path, template)
 
     def save(self, epoch: int, payload: Any) -> None:
         ocp = _ocp()

@@ -104,6 +104,25 @@ def sharded_encoder(cfg: M.ReidModelConfig, mesh, fn):
     return lambda params, _cfg, images: wrapped(params, images)
 
 
+def stage1_opt_state_template(params, cfg: M.ReidModelConfig,
+                              tcfg: "TrainConfig"):
+    """Freshly-initialized stage-1 optimizer state with the exact pytree
+    structure run_stage1 uses — optax states are namedtuples, so restoring
+    a checkpointed opt_state needs this as the template."""
+    trainable, _ = O.partition(params, lambda p: M.stage1_trainable(p, cfg))
+    return O.make_stage_optimizer(
+        tcfg.lr_stage1, tcfg.weight_decay
+    ).init(trainable)
+
+
+def stage2_opt_state_template(params, cfg: M.ReidModelConfig,
+                              tcfg: "TrainConfig"):
+    trainable, _ = O.partition(params, lambda p: M.stage2_trainable(p, cfg))
+    return O.make_stage_optimizer(
+        tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
+    ).init(trainable)
+
+
 def _jit_step(step, mesh, n_state: int, n_batch: int):
     """jit with mesh shardings: the first n_state args replicated (params /
     opt state), the remaining n_batch batch args sharded over "data". XLA
@@ -190,16 +209,22 @@ def run_stage1(
     mesh=None,
     batch_size: int = 64,
     log: Callable[[str], None] = print,
-    checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
+    checkpoint_cb: Optional[Callable[[int, dict, dict], None]] = None,
     cached_order: Optional[Callable[[int, np.ndarray], Iterable]] = None,
     guard=None,
+    start_epoch: int = 1,
+    init_opt_state=None,
+    init_gpa=None,
 ) -> dict:
     """epoch_batches(epoch) yields (images_u8 or images, labels, valid)
     device-ready batches. batch_size drives the cached-feature path's step
     size (the reference uses params.bs, prompt_learning.py:379). Returns
     trained params (GPA-averaged for promptsrc). checkpoint_cb(epoch,
-    params) fires after every epoch — wire CheckpointManager.maybe_save for
-    the reference's every-20-epochs cadence (prompt_learning.py:472-474).
+    params, state) fires after every epoch with state = {"opt_state", "gpa"}
+    — wire CheckpointManager.maybe_save for the reference's every-20-epochs
+    cadence (prompt_learning.py:472-474). start_epoch/init_opt_state/
+    init_gpa resume a run mid-stage with the exact optimization trajectory
+    (the reference cannot resume at all, SURVEY.md §5).
 
     cached_order(epoch, labels) -> iterable of index arrays overrides the
     cached path's batch order (the soft-multitask per-dataset alternation,
@@ -212,7 +237,8 @@ def run_stage1(
         params, lambda path: M.stage1_trainable(path, cfg)
     )
     optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
-    opt_state = optimizer.init(trainable)
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(trainable))
     step = make_stage1_step(cfg, optimizer, cached, mesh=mesh)
 
     if cached:
@@ -235,10 +261,10 @@ def run_stage1(
         return lf
 
     gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
-    gpa = None
+    gpa = init_gpa
     bs = None
     gstep = 0
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         lr = S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
         opt_state = O.set_lr(opt_state, lr)
         losses = []
@@ -288,7 +314,8 @@ def run_stage1(
                 f"loss {np.mean(losses):.4f} lr {lr:.2e}"
             )
         if checkpoint_cb is not None:
-            checkpoint_cb(epoch, O.combine(trainable, frozen))
+            checkpoint_cb(epoch, O.combine(trainable, frozen),
+                          {"opt_state": opt_state, "gpa": gpa})
     out = O.combine(trainable, frozen)
     if cfg.mode == "promptsrc" and gpa is not None:
         out = gpa
@@ -376,8 +403,11 @@ def run_stage2(
     epochs: Optional[int] = None,
     mesh=None,
     log: Callable[[str], None] = print,
-    checkpoint_cb: Optional[Callable[[int, dict], None]] = None,
+    checkpoint_cb: Optional[Callable[[int, dict, dict], None]] = None,
     guard=None,
+    start_epoch: int = 0,
+    init_opt_state=None,
+    init_gpa=None,
 ) -> dict:
     """guard: optional runtime.guard.TrainGuard — snapshots
     (trainable, frozen, opt_state) periodically and rolls all three back
@@ -394,13 +424,14 @@ def run_stage2(
     optimizer = O.make_stage_optimizer(
         tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
     )
-    opt_state = optimizer.init(trainable)
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(trainable))
     step = make_stage2_step(cfg, tcfg, optimizer, mesh=mesh)
 
     gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
-    gpa = None
+    gpa = init_gpa
     gstep = 0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         lr = S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
         opt_state = O.set_lr(opt_state, lr)
         losses = []
@@ -428,7 +459,8 @@ def run_stage2(
                 f"loss {np.mean(losses):.4f} lr {lr:.2e}"
             )
         if checkpoint_cb is not None:
-            checkpoint_cb(epoch, O.combine(trainable, frozen))
+            checkpoint_cb(epoch, O.combine(trainable, frozen),
+                          {"opt_state": opt_state, "gpa": gpa})
     out = O.combine(trainable, frozen)
     if cfg.mode == "promptsrc" and gpa is not None:
         out = gpa
