@@ -77,16 +77,21 @@ class CheckpointManager:
         return load_checkpoint(path, template)
 
     def save(self, epoch: int, payload: Any) -> None:
+        """Async: returns once the payload is snapshotted; serialization to
+        disk overlaps the next training epochs. The previous save is fenced
+        first so at most one write is in flight; close() drains."""
         ocp = _ocp()
-        self._mgr.save(epoch, args=ocp.args.PyTreeSave(payload))
         self._mgr.wait_until_finished()
+        self._mgr.save(epoch, args=ocp.args.PyTreeSave(payload))
 
     def latest_epoch(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, epoch: Optional[int] = None,
                 template: Optional[Any] = None) -> Any:
         ocp = _ocp()
+        self._mgr.wait_until_finished()
         epoch = epoch if epoch is not None else self.latest_epoch()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
@@ -97,4 +102,5 @@ class CheckpointManager:
         )
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
