@@ -391,3 +391,72 @@ def test_multitask_cli_soft_ivlp(tmp_path, monkeypatch):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_mt_sharded_stage2_step_8dev():
+    """Multitask stage-2 over the mesh (shard_map encoder + global-batch
+    XBM/triplet semantics) equals the single-device step."""
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+    from tpu_reid.train import optim as O
+
+    mcfg, params = build_mt("hard")
+    mesh = make_mesh()
+    tcfg = TrainConfig()
+    tf = MT.all_class_text_features_mt(params, mcfg, 0)
+    trainable, frozen = O.partition(
+        params, lambda p: MT.mt_stage2_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage2, bias_lr_mult=2.0)
+    opt_state = optimizer.init(trainable)
+    xbm = X.init_xbm(16, mcfg.clip.embed_dim)
+    images, labels, valid = batches((32, 16), 5, n=1, bs=16)[0]
+    valid = jnp.asarray(valid)
+
+    step_m = MT.make_mt_stage2_step(mcfg, tcfg, optimizer, 0, mesh=mesh)
+    tm, fm, om, xm, loss_m = step_m(
+        replicate(mesh, trainable), replicate(mesh, frozen),
+        replicate(mesh, opt_state), shard_batch(mesh, images),
+        shard_batch(mesh, labels), replicate(mesh, tf),
+        replicate(mesh, xbm), replicate(mesh, jnp.asarray(True)),
+        shard_batch(mesh, valid),
+    )
+    step_1 = MT.make_mt_stage2_step(mcfg, tcfg, optimizer, 0)
+    t1, f1, o1, x1, loss_1 = step_1(
+        trainable, frozen, optimizer.init(trainable), images, labels, tf,
+        xbm, jnp.asarray(True), valid,
+    )
+    assert abs(float(loss_m) - float(loss_1)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(x1), jax.tree.leaves(xm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_mt_sharded_stage1_step_8dev():
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+    from tpu_reid.train import optim as O
+
+    mcfg, params = build_mt("hard_ivlp")
+    mesh = make_mesh()
+    tcfg = TrainConfig()
+    trainable, frozen = O.partition(
+        params, lambda p: MT.mt_stage1_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
+    images, labels, valid = batches((32, 16), 5, n=1, bs=16)[0]
+    valid = jnp.asarray(valid)
+
+    step_m = MT.make_mt_stage1_step(mcfg, optimizer, 0, mesh=mesh)
+    tm, om, loss_m = step_m(
+        replicate(mesh, trainable), replicate(mesh, frozen),
+        replicate(mesh, optimizer.init(trainable)),
+        shard_batch(mesh, images), shard_batch(mesh, labels),
+        shard_batch(mesh, valid),
+    )
+    step_1 = MT.make_mt_stage1_step(mcfg, optimizer, 0)
+    t1, o1, loss_1 = step_1(
+        trainable, frozen, optimizer.init(trainable), images, labels, valid
+    )
+    assert abs(float(loss_m) - float(loss_1)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

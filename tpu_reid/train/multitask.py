@@ -169,10 +169,37 @@ def mt_stage2_trainable(path: Tuple[str, ...], cfg: MultitaskModelConfig) -> boo
 # ---------------------------------------------------------------------------
 
 
-def make_mt_stage1_step(cfg: MultitaskModelConfig, optimizer, task: int):
+def _mt_sharded_encoder(cfg, mesh, task: int):
+    """shard_map-wrapped per-task image encode (fused kernels run on the
+    per-device local batch; losses keep global-batch semantics at the jit
+    level — same design as trainer.sharded_encoder)."""
+    from tpu_reid.train.trainer import sharded_encoder
+
+    return sharded_encoder(
+        cfg, mesh, lambda p, c, im: encode_image_mt(p, c, task, im)
+    )
+
+
+def _mt_jit(step, mesh, shardings):
+    if mesh is None:
+        return jax.jit(step)
+    from tpu_reid.parallel.mesh import data_sharding, replicated
+
+    rep, dat = replicated(mesh), data_sharding(mesh)
+    table = {"r": rep, "d": dat}
+    return jax.jit(step, in_shardings=tuple(table[c] for c in shardings))
+
+
+def make_mt_stage1_step(cfg: MultitaskModelConfig, optimizer, task: int,
+                        mesh=None):
+    encode = _mt_sharded_encoder(cfg, mesh, task) if mesh is not None else None
+
     def loss_fn(trainable, frozen, images, labels, valid):
         params = O.combine(trainable, frozen)
-        image_features = encode_image_mt(params, cfg, task, images)[2]
+        if encode is not None:
+            image_features = encode(params, cfg, images)[2]
+        else:
+            image_features = encode_image_mt(params, cfg, task, images)[2]
         text_features = encode_text_mt(params, cfg, task, labels)
         return (
             L.supcon_loss(image_features, text_features, labels, labels,
@@ -181,7 +208,6 @@ def make_mt_stage1_step(cfg: MultitaskModelConfig, optimizer, task: int):
                             anchor_valid=valid, contrast_valid=valid)
         )
 
-    @jax.jit
     def step(trainable, frozen, opt_state, images, labels, valid=None):
         loss, grads = jax.value_and_grad(loss_fn)(
             trainable, frozen, images, labels, valid
@@ -190,19 +216,25 @@ def make_mt_stage1_step(cfg: MultitaskModelConfig, optimizer, task: int):
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
-    return step
+    # params/opt replicated, batch sharded over "data"
+    return _mt_jit(step, mesh, "rrrddd")
 
 
 def make_mt_stage2_step(
     cfg: MultitaskModelConfig, tcfg: TrainConfig, optimizer, task: int,
     xbm_weight: float = 0.2,
+    mesh=None,
 ):
     head_key = "head1" if task == 0 else "head2"
+    encode = _mt_sharded_encoder(cfg, mesh, task) if mesh is not None else None
 
     def loss_fn(trainable, frozen, images, labels, text_features, xbm_state,
                 use_xbm, valid):
         params = O.combine(trainable, frozen)
-        last, non_proj, proj = encode_image_mt(params, cfg, task, images)
+        if encode is not None:
+            last, non_proj, proj = encode(params, cfg, images)
+        else:
+            last, non_proj, proj = encode_image_mt(params, cfg, task, images)
         head = H.apply_classifier(params[head_key], non_proj, proj, train=True,
                                   valid=valid)
         loss = jnp.float32(0.0)
@@ -238,7 +270,6 @@ def make_mt_stage2_step(
         loss += jnp.where(use_xbm, xbm_weight * xbm_loss, 0.0)
         return loss, (head["new_stats"], new_xbm)
 
-    @jax.jit
     def step(trainable, frozen, opt_state, images, labels, text_features,
              xbm_state, use_xbm, valid=None):
         (loss, (bn_stats, new_xbm)), grads = jax.value_and_grad(
@@ -257,7 +288,9 @@ def make_mt_stage2_step(
                 frozen[head_key][name]["var"] = stats["var"]
         return trainable, frozen, opt_state, new_xbm, loss
 
-    return step
+    # text features, XBM bank and the use_xbm flag are replicated; the
+    # image/label/valid batch shards over "data"
+    return _mt_jit(step, mesh, "rrrddrrrd")
 
 
 # ---------------------------------------------------------------------------
@@ -324,6 +357,7 @@ def run_mt_stage1(
     epoch_batches: Callable[[int], Iterable],  # yields (task, (img, lab, valid))
     epochs: int,
     log: Callable[[str], None] = print,
+    mesh=None,
 ) -> dict:
     params = jax.tree.map(jnp.asarray, params)  # commit to device once
     trainable, frozen = O.partition(
@@ -332,7 +366,7 @@ def run_mt_stage1(
     optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
     opt_state = optimizer.init(trainable)
     steps = [
-        make_mt_stage1_step(cfg, optimizer, t) for t in (0, 1)
+        make_mt_stage1_step(cfg, optimizer, t, mesh=mesh) for t in (0, 1)
     ]
     gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
     gpa = None
@@ -370,6 +404,7 @@ def run_mt_stage2(
     xbm_capacity: int = 128,
     xbm_start_epoch: int = 10,
     log: Callable[[str], None] = print,
+    mesh=None,
 ) -> dict:
     params = jax.tree.map(jnp.asarray, params)  # commit to device once
     text_features = [
@@ -383,7 +418,8 @@ def run_mt_stage2(
         tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
     )
     opt_state = optimizer.init(trainable)
-    steps = [make_mt_stage2_step(cfg, tcfg, optimizer, t) for t in (0, 1)]
+    steps = [make_mt_stage2_step(cfg, tcfg, optimizer, t, mesh=mesh)
+             for t in (0, 1)]
     dim = cfg.clip.embed_dim
     xbms = [X.init_xbm(xbm_capacity, dim), X.init_xbm(xbm_capacity, dim)]
 
