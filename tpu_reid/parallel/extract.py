@@ -76,12 +76,20 @@ def extract_embeddings(
     params: dict,
     batches: Iterable,
     mesh: Optional[Mesh] = None,
+    hang_timeout_s: float = 600.0,
+    on_hang=None,
 ) -> Tuple[jax.Array, np.ndarray, np.ndarray, np.ndarray]:
     """Sweep a loader; returns (features_on_device, pids, camids, seqids).
 
     batches yield objects with .images (B, H, W, 3) uint8 (fixed B), .pids,
     .camids, .seqids, .valid. Features stay in HBM; metadata is host-side.
+
+    hang_timeout_s: a StepWatchdog (runtime/guard.py) arms around every
+    device dispatch — a wedged chip presents as a silently blocked host
+    thread (observed failure mode), and the watchdog turns it into a
+    recorded event / on_hang callback.
     """
+    from tpu_reid.runtime.guard import StepWatchdog
     # commit params to device ONCE — numpy leaves passed to a jitted call
     # re-upload on EVERY invocation (catastrophic over slow links)
     params = jax.tree.map(jnp.asarray, params)
@@ -93,7 +101,8 @@ def extract_embeddings(
     pids, camids, seqids = [], [], []
     put = (lambda x: jax.device_put(x, data_sharding(mesh))) if mesh else jnp.asarray
     for b in batches:
-        f = extractor(params, put(b.images))
+        with StepWatchdog(hang_timeout_s, on_hang=on_hang):
+            f = extractor(params, put(b.images))
         if b.valid.all():
             feats.append(f)
             pids.append(b.pids)
