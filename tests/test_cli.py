@@ -113,7 +113,7 @@ def test_zero_shot_cli_mm_augmented(assets, monkeypatch):
     assert 0.0 <= mAP <= 1.0
 
 
-@pytest.mark.parametrize("mode", ["coop", "ivlp"])
+@pytest.mark.parametrize("mode", ["coop", "ivlp", "adapter", "maple"])
 def test_prompt_learning_cli(assets, monkeypatch, tmp_path, mode):
     from tpu_reid.cli import prompt_learning as cli
 

@@ -93,10 +93,15 @@ def build_model(args, n_cls: int, car_types=None):
         # ImageNet-pretrained VPT weights (reference:
         # prompt_learning.py:721-745 keeps only VPT keys, shape-tolerant)
         vinit = init_vit(jax.random.key(1), cfg.vision)
-        clip_params["visual"].setdefault("vpt_shallow", vinit["vpt_shallow"])
-        clip_params["visual"].setdefault("vpt_deep", vinit["vpt_deep"])
         tinit = init_text(jax.random.key(2), cfg.text)
-        clip_params["text"].setdefault("vpt_deep", tinit["vpt_deep"])
+        # MaPLe designs carry no tower-level vpt_deep (deep prompts come from
+        # the text->vision projection, reference maple.py:617-644), so only
+        # seed the keys the design's init actually produces.
+        for k in ("vpt_shallow", "vpt_deep"):
+            if k in vinit:
+                clip_params["visual"].setdefault(k, vinit[k])
+        if "vpt_deep" in tinit:
+            clip_params["text"].setdefault("vpt_deep", tinit["vpt_deep"])
         if args.pretrained_vpt:
             vpt_sd = load_state_dict(args.pretrained_vpt)
             from tpu_reid.weights.convert import convert_vit, convert_text

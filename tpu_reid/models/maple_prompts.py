@@ -69,11 +69,15 @@ def maple_prompt_stacks(
     )  # (depth, n_ctx, d_vis)
 
     d_vis = vis_all.shape[-1]
-    pad_l = n_layers - depth
+    pad_l = max(n_layers - depth, 0)
+    # coupling depth may exceed a (small) tower's layer count; extra
+    # couplings are inert either way because layer gating stops at n_layers
     vision_deep = jnp.concatenate(
-        [vis_all, jnp.zeros((pad_l, n_ctx, d_vis), vis_all.dtype)], axis=0
+        [vis_all[:n_layers], jnp.zeros((pad_l, n_ctx, d_vis), vis_all.dtype)],
+        axis=0,
     )
     text_deep = jnp.concatenate(
-        [text_all, jnp.zeros((pad_l, n_ctx, d_text), text_all.dtype)], axis=0
+        [text_all[:n_layers], jnp.zeros((pad_l, n_ctx, d_text), text_all.dtype)],
+        axis=0,
     )
     return vis_all[0], vision_deep, text_deep

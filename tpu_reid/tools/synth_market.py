@@ -99,6 +99,41 @@ def write_images(base, rng, n_train_ids, n_test_ids, n_query, n_gallery, hw):
     return n_total
 
 
+def write_images_duke(base, rng, n_train_ids, n_test_ids, n_query, n_gallery,
+                      hw):
+    """DukeMTMC-reID layout: `{pid:04d}_c{cam}_f{frame:07d}.jpg`, cams 1..8
+    (reference parser: datasets/dataset_dukemtmc.py:66-85)."""
+    from PIL import Image
+
+    for sub in ("bounding_box_train", "query", "bounding_box_test"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    train_pids = list(range(1, n_train_ids + 1))
+    test_pids = list(range(n_train_ids + 1, n_train_ids + n_test_ids + 1))
+    patterns = {}
+
+    def save(sub, pid, cam, frame):
+        if pid not in patterns:
+            patterns[pid] = _identity_pattern(rng, hw)
+        img = _render(rng, patterns[pid], hw)
+        name = f"{pid:04d}_c{cam}_f{frame:07d}.jpg"
+        Image.fromarray(img).save(os.path.join(base, sub, name), quality=90)
+
+    n_total = 0
+    # real Duke: 16522 train / 702 ids ~ 23 imgs/id over 8 cams
+    for pid in train_pids:
+        for k in range(23):
+            save("bounding_box_train", pid, 1 + k % 8, k)
+            n_total += 1
+    for i in range(n_query):
+        pid = test_pids[i % n_test_ids]
+        save("query", pid, 1 + (i // n_test_ids) % 4, i)
+    for i in range(n_gallery):
+        pid = test_pids[i % n_test_ids]
+        save("bounding_box_test", pid, 1 + (i // n_test_ids) % 8, 10000 + i)
+    return n_total
+
+
 def write_attributes(path, n_ids_total):
     """27-row market_attribute.mat over identities 0001..{n}."""
     from scipy import io as sio
@@ -179,14 +214,24 @@ def main():
     p.add_argument("--hw", type=int, nargs=2, default=(128, 64))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_checkpoint", action="store_true")
+    p.add_argument("--dataset", default="market1501",
+                   choices=["market1501", "dukemtmc"],
+                   help="directory layout + filename scheme to emit")
     args = p.parse_args()
 
     rng = np.random.RandomState(args.seed)
-    base = os.path.join(args.out, "Market1501")
-    n_train = write_images(
-        base, rng, args.train_ids, args.test_ids, args.query, args.gallery,
-        tuple(args.hw),
-    )
+    if args.dataset == "dukemtmc":
+        base = os.path.join(args.out, "DukeMTMC-reID")
+        n_train = write_images_duke(
+            base, rng, args.train_ids, args.test_ids, args.query,
+            args.gallery, tuple(args.hw),
+        )
+    else:
+        base = os.path.join(args.out, "Market1501")
+        n_train = write_images(
+            base, rng, args.train_ids, args.test_ids, args.query,
+            args.gallery, tuple(args.hw),
+        )
     print(f"images: {n_train} train / {args.query} query / "
           f"{args.gallery} gallery under {base}")
 
