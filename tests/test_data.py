@@ -377,3 +377,31 @@ def test_fetch_model_table():
     for url in MODELS.values():
         sha = url.split("/")[-2]
         assert len(sha) == 64  # checksum embedded in every URL
+
+
+def test_synth_generator_layouts(tmp_path):
+    """The synthetic-workload generator's duke/veri layouts satisfy the real
+    parsers' contracts (filenames, keypoint files, gb2312 label XMLs)."""
+    import numpy as np
+
+    from tpu_reid.data.datasets import get_dataset
+    from tpu_reid.tools.synth_market import (
+        write_images_duke, write_images_veri,
+    )
+
+    rng = np.random.RandomState(3)
+    write_images_duke(str(tmp_path / "DukeMTMC-reID"), rng, 4, 3, 6, 12,
+                      (32, 16))
+    duke = get_dataset(str(tmp_path), "dukemtmc")
+    assert duke.num_train_pids == 4
+    assert len(duke.query) == 6 and len(duke.gallery) == 12
+
+    write_images_veri(str(tmp_path / "VeRi"), rng, 5, 4, 8, 16, (32, 32))
+    veri = get_dataset(str(tmp_path), "veri")
+    assert veri.num_train_pids == 5
+    assert len(veri.query) == 8 and len(veri.gallery) == 16
+    # every train pid got a usable car type for PromptLearnerVeri
+    assert len(veri.car_types_train) == 5
+    assert all(t for t in veri.car_types_train)
+    # viewpoint annotations survive the keypoint round-trip
+    assert all(0 <= r[3] <= 7 for r in veri.train)

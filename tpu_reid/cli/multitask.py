@@ -165,6 +165,8 @@ def main():
             jax.random.key(args.seed), mcfg, clip_params, temb, tokens,
             zs_visual_params=zs,
         )
+        print(f"[model] variant=soft mode={mode} n1={n1} n2={n2} "
+              f"hw1={h1}x{w1}", flush=True)
         n_ds1 = len(ds1.train)
 
         def eval_batches(records, offset, epoch):
@@ -244,6 +246,8 @@ def main():
             jax.random.key(args.seed), mcfg, clip_params,
             emb_table[tok1], tok1, emb_table[tok2], tok2,
         )
+        print(f"[model] variant={args.variant} n1={n1} n2={n2} "
+              f"hw1={h1}x{w1} hw2={h2}x{w2}", flush=True)
 
         def eval_batches_mt(dataset, pp, epoch):
             # stage 1 consumes the val-transform loader — deterministic

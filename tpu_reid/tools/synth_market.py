@@ -134,6 +134,76 @@ def write_images_duke(base, rng, n_train_ids, n_test_ids, n_query, n_gallery,
     return n_total
 
 
+VERI_TYPES = ["sedan", "suv", "van", "hatchback", "mpv", "pickup", "bus",
+              "truck", "estate"]
+
+
+def write_images_veri(out_base, rng, n_train_ids, n_test_ids, n_query,
+                      n_gallery, hw):
+    """VeRi-776 layout: `image_train/image_query/image_test` with
+    `{pid:04d}_c{cam:03d}_{frame:08d}_0.jpg` names, keypoint viewpoint
+    files, gb2312 label XMLs with per-image typeID, and `list_type.txt`
+    (reference parser: datasets/dataset_veri.py:34-72,131-137; pid<=776,
+    cams 1..20)."""
+    from PIL import Image
+
+    assert n_train_ids + n_test_ids <= 776, "VeRi pids must stay <= 776"
+    for sub in ("image_train", "image_query", "image_test"):
+        os.makedirs(os.path.join(out_base, sub), exist_ok=True)
+
+    train_pids = list(range(1, n_train_ids + 1))
+    test_pids = list(range(n_train_ids + 1, n_train_ids + n_test_ids + 1))
+    patterns = {}
+    # fixed per-identity car type + viewpoint stream
+    pid_type = {p: 1 + rng.randint(0, len(VERI_TYPES))
+                for p in train_pids + test_pids}
+    keypoints = {"train": [], "test": []}
+    labels = {"train": [], "test": []}
+
+    def save(sub, split, pid, cam, frame):
+        if pid not in patterns:
+            patterns[pid] = _identity_pattern(rng, hw)
+        img = _render(rng, patterns[pid], hw)
+        name = f"{pid:04d}_c{cam:03d}_{frame:08d}_0.jpg"
+        Image.fromarray(img).save(
+            os.path.join(out_base, sub, name), quality=90
+        )
+        keypoints[split].append(f"{sub}/{name} {rng.randint(0, 8)}")
+        labels[split].append((name, pid_type[pid]))
+        return name
+
+    n_total = 0
+    # real VeRi: 37,778 train / 576 ids (~65/id) over 20 cams
+    per_id = 30
+    for pid in train_pids:
+        for k in range(per_id):
+            save("image_train", "train", pid, 1 + k % 20, k)
+            n_total += 1
+    for i in range(n_query):
+        pid = test_pids[i % n_test_ids]
+        save("image_query", "test", pid, 1 + (i // n_test_ids) % 10, i)
+    for i in range(n_gallery):
+        pid = test_pids[i % n_test_ids]
+        save("image_test", "test", pid, 1 + (i // n_test_ids) % 20, 10000 + i)
+
+    for split in ("train", "test"):
+        with open(os.path.join(out_base, f"keypoint_{split}.txt"), "w") as f:
+            f.write("\n".join(keypoints[split]) + "\n")
+        items = "\n".join(
+            f'  <Item imageName="{name}" vehicleID="{name[:4]}" '
+            f'cameraID="{name[5:9]}" colorID="1" typeID="{tid}"/>'
+            for name, tid in labels[split]
+        )
+        xml = ('<?xml version="1.0" encoding="gb2312"?>\n<TrainingImages>\n'
+               f"<Items>\n{items}\n</Items>\n</TrainingImages>\n")
+        with open(os.path.join(out_base, f"{split}_label.xml"), "wb") as f:
+            f.write(xml.encode("gb2312"))
+    with open(os.path.join(out_base, "list_type.txt"), "w") as f:
+        for i, t in enumerate(VERI_TYPES, start=1):
+            f.write(f"{i} {t}\n")
+    return n_total
+
+
 def write_attributes(path, n_ids_total):
     """27-row market_attribute.mat over identities 0001..{n}."""
     from scipy import io as sio
@@ -215,12 +285,18 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_checkpoint", action="store_true")
     p.add_argument("--dataset", default="market1501",
-                   choices=["market1501", "dukemtmc"],
+                   choices=["market1501", "dukemtmc", "veri"],
                    help="directory layout + filename scheme to emit")
     args = p.parse_args()
 
     rng = np.random.RandomState(args.seed)
-    if args.dataset == "dukemtmc":
+    if args.dataset == "veri":
+        base = os.path.join(args.out, "VeRi")
+        n_train = write_images_veri(
+            base, rng, args.train_ids, args.test_ids, args.query,
+            args.gallery, tuple(args.hw),
+        )
+    elif args.dataset == "dukemtmc":
         base = os.path.join(args.out, "DukeMTMC-reID")
         n_train = write_images_duke(
             base, rng, args.train_ids, args.test_ids, args.query,

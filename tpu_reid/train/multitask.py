@@ -381,6 +381,9 @@ def run_mt_stage1(
                 jnp.asarray(np.asarray(valid)),
             )
             losses.append(float(loss))
+            if len(losses) % 50 == 1:
+                log(f"[mt-stage1] epoch {epoch} step {len(losses)} "
+                    f"loss {losses[-1]:.4f}")
         # stage-1 GPA only for the ivlp variant: the plain hard-sharing
         # script has its stage-1 averaging commented out
         # (reference: ..._hard_sharing.py:314,461-466 vs
@@ -438,6 +441,9 @@ def run_mt_stage2(
                 jnp.asarray(np.asarray(valid)),
             )
             losses.append(float(loss))
+            if len(losses) % 50 == 1:
+                log(f"[mt-stage2] epoch {epoch + 1} step {len(losses)} "
+                    f"loss {losses[-1]:.4f}")
         gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
         if losses:
             log(f"[mt-stage2] epoch {epoch + 1}/{epochs} loss {np.mean(losses):.4f}")
