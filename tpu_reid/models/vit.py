@@ -68,7 +68,12 @@ def _deep_prompt_flags(cfg: VisionConfig) -> jax.Array:
 
 
 def patch_embed(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array:
-    """(B, H, W, 3) -> (B, h_grid*w_grid, width) overlapping patch tokens."""
+    """(B, H, W, 3) -> (B, h_grid*w_grid, width) overlapping patch tokens.
+
+    Kept as a plain strided conv: inside the fused encoder program XLA
+    lowers this at ~3.5 ms/512-batch, and the im2col+matmul formulation
+    measured perf-neutral in-model (docs/ROADMAP.md), so the simpler
+    form wins."""
     x = jax.lax.conv_general_dilated(
         images,
         params["conv"]["w"].astype(images.dtype),
