@@ -405,3 +405,11 @@ def test_synth_generator_layouts(tmp_path):
     assert all(t for t in veri.car_types_train)
     # viewpoint annotations survive the keypoint round-trip
     assert all(0 <= r[3] <= 7 for r in veri.train)
+
+    from tpu_reid.tools.synth_market import write_images_msmt
+
+    write_images_msmt(str(tmp_path / "MSMT17_V2"), rng, 5, 4, 8, 20,
+                      (32, 16))
+    msmt = get_dataset(str(tmp_path), "msmt17")
+    assert msmt.num_train_pids == 5  # train+val merged, contiguous pids
+    assert len(msmt.query) == 8 and len(msmt.gallery) == 20

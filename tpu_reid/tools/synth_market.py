@@ -204,6 +204,52 @@ def write_images_veri(out_base, rng, n_train_ids, n_test_ids, n_query,
     return n_total
 
 
+def write_images_msmt(out_base, rng, n_train_ids, n_test_ids, n_query,
+                      n_gallery, hw):
+    """MSMT17 V2 layout: `mask_train_v2`/`mask_test_v2` image trees plus
+    list files (`list_train/val/query/gallery.txt`) with lines
+    `<rel> <pid>`; camid parses from the 3rd underscore field, 1-based
+    (reference parser: datasets/dataset_msmt17.py:63-80; train pids must
+    be contiguous 0..N-1)."""
+    from PIL import Image
+
+    train_dir = os.path.join(out_base, "mask_train_v2")
+    test_dir = os.path.join(out_base, "mask_test_v2")
+    patterns = {}
+    lists = {k: [] for k in ("train", "val", "query", "gallery")}
+
+    def save(root, list_name, pid, cam, frame):
+        key = (root, pid)
+        if key not in patterns:
+            patterns[key] = _identity_pattern(rng, hw)
+        sub = f"{pid:04d}"
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+        rel = f"{sub}/{pid:04d}_{frame:03d}_{cam:02d}_x.jpg"
+        img = _render(rng, patterns[key], hw)
+        Image.fromarray(img).save(os.path.join(root, rel), quality=90)
+        lists[list_name].append(f"{rel} {pid}")
+
+    n_total = 0
+    # train pids 0..n-1 (parser asserts contiguity); ~90% train / 10% val
+    for pid in range(n_train_ids):
+        for k in range(10):
+            save(train_dir, "train" if k else "val", pid, 1 + k % 15, k)
+            n_total += 1
+    for i in range(n_query):
+        pid = i % n_test_ids
+        save(test_dir, "query", pid, 1 + (i // n_test_ids) % 5, i)
+    for i in range(n_gallery):
+        pid = i % n_test_ids
+        # gallery cams overlap the query cams so the cross-camera
+        # filtering protocol actually removes same-pid/same-cam entries
+        save(test_dir, "gallery", pid, 1 + (i // n_test_ids) % 15, 10000 + i)
+
+    for name, rows in lists.items():
+        with open(os.path.join(out_base, f"list_{name}.txt"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+    return n_total
+
+
 def write_attributes(path, n_ids_total):
     """27-row market_attribute.mat over identities 0001..{n}."""
     from scipy import io as sio
@@ -285,12 +331,18 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_checkpoint", action="store_true")
     p.add_argument("--dataset", default="market1501",
-                   choices=["market1501", "dukemtmc", "veri"],
+                   choices=["market1501", "dukemtmc", "veri", "msmt17"],
                    help="directory layout + filename scheme to emit")
     args = p.parse_args()
 
     rng = np.random.RandomState(args.seed)
-    if args.dataset == "veri":
+    if args.dataset == "msmt17":
+        base = os.path.join(args.out, "MSMT17_V2")
+        n_train = write_images_msmt(
+            base, rng, args.train_ids, args.test_ids, args.query,
+            args.gallery, tuple(args.hw),
+        )
+    elif args.dataset == "veri":
         base = os.path.join(args.out, "VeRi")
         n_train = write_images_veri(
             base, rng, args.train_ids, args.test_ids, args.query,
