@@ -137,14 +137,21 @@ class Evaluator:
         feat_norm: bool = True,
         reranking: bool = False,
         rerank_params: tuple[int, int, float] = (50, 15, 0.3),
+        rerank_mode: str = "auto",
     ):
         self.num_query = num_query
         self.max_rank = max_rank
         self.feat_norm = feat_norm
         self.reranking = reranking
         self.rerank_params = rerank_params
-        # above this population the exact all-pairs re-rank would not fit
-        # HBM; Evaluator switches to the sharded bounded-memory mode
+        # above this population the dense all-pairs re-rank would not fit
+        # HBM; "auto" switches to the streamed exact-neighborhood mode
+        # (sparse V + quantized V_qe + tiled min-sum kernel). "sharded"
+        # forces the per-shard approximation (shard-local neighborhoods,
+        # measured -1.74 mAP vs exact — docs/DIVERGENCES.md #15);
+        # "exact"/"streamed" force their path at any population.
+        assert rerank_mode in ("auto", "exact", "streamed", "sharded")
+        self.rerank_mode = rerank_mode
         self.rerank_exact_limit = 40_000
         self.reset()
 
@@ -160,6 +167,9 @@ class Evaluator:
 
     def compute(self) -> tuple[np.ndarray, float]:
         feats = jnp.concatenate(self._feats, axis=0)
+        # release the per-batch buffers: at MSMT17 scale they pin an extra
+        # ~0.5GB of HBM next to the re-ranking working set
+        self._feats = [feats]
         if self.feat_norm:
             feats = l2_normalize(feats, axis=1)
         pids = np.concatenate(self._pids)
@@ -177,14 +187,26 @@ class Evaluator:
 
             k1, k2, lam = self.rerank_params
             n = int(qf.shape[0]) + int(gf.shape[0])
-            if n > self.rerank_exact_limit:
-                # all-pairs (Q+G)^2 matrices would exceed HBM (MSMT17-scale
-                # galleries); fall back to bounded-memory sharded re-ranking
-                distmat = k_reciprocal_rerank_sharded(
+            mode = self.rerank_mode
+            if mode == "auto":
+                # dense all-pairs (Q+G)^2 matrices exceed HBM above the
+                # limit (MSMT17-scale galleries); switch to the streamed
+                # exact-neighborhood path (rerank_stream.py)
+                mode = "exact" if n <= self.rerank_exact_limit else "streamed"
+            if mode == "exact":
+                distmat = k_reciprocal_rerank(
+                    qf, gf, k1=k1, k2=k2, lambda_value=lam
+                )
+            elif mode == "streamed":
+                from tpu_reid.retrieval.rerank_stream import (
+                    k_reciprocal_rerank_streamed,
+                )
+
+                distmat = k_reciprocal_rerank_streamed(
                     qf, gf, k1=k1, k2=k2, lambda_value=lam
                 )
             else:
-                distmat = k_reciprocal_rerank(
+                distmat = k_reciprocal_rerank_sharded(
                     qf, gf, k1=k1, k2=k2, lambda_value=lam
                 )
         else:

@@ -38,6 +38,50 @@ def _pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
+def _expansion_sets(rows, rank_k1, rank_kh, n):
+    """Candidate k-reciprocal expansion sets for a block of rows.
+
+    Vectorized reformulation of the reference's per-row expansion loop
+    (reference: reranking.py:51-71): forward top-(k1+1) neighbors, the
+    reciprocal test, each candidate's half-k reciprocal set, and the
+    2/3-overlap acceptance rule. Returns ``(e_idx, e_val)`` — candidate
+    column ids ``(B, k1p*(kh+1))`` and their acceptance mask. The same
+    column may appear several times; every duplicate of an accepted
+    column carries the same implied weight ``exp(-od[row, col])``, so
+    both a scatter-max densification and a sort-plus-first-occurrence
+    sparsification produce identical rows.
+    """
+    safe_rows = jnp.minimum(rows, n - 1)
+    fwd = rank_k1[safe_rows]  # (B, k1+1)
+    # reciprocal test: i in top-(k1+1) of each forward neighbor
+    back = rank_k1[fwd]  # (B, k1+1, k1+1)
+    recip = jnp.any(back == rows[:, None, None], axis=-1)  # (B, k1+1)
+
+    # half-k reciprocal sets of every candidate c = fwd[b, j]
+    ch_idx = rank_kh[fwd]  # (B, k1+1, kh)
+    ch_back = rank_kh[ch_idx]  # (B, k1+1, kh, kh)
+    recip_h = jnp.any(ch_back == fwd[:, :, None, None], axis=-1)  # (B,k1+1,kh)
+
+    # |R_half(c) ∩ R(i)| > 2/3 |R_half(c)|
+    eq = (
+        (ch_idx[:, :, :, None] == fwd[:, None, None, :])
+        & recip[:, None, None, :]
+    )
+    matched = jnp.any(eq, axis=-1) & recip_h  # (B, k1+1, kh)
+    inter_size = jnp.sum(matched, axis=-1)  # (B, k1+1)
+    rh_size = jnp.sum(recip_h, axis=-1)
+    accept = recip & (3 * inter_size > 2 * rh_size)
+
+    e_idx = jnp.concatenate(
+        [fwd, ch_idx.reshape(ch_idx.shape[0], -1)], axis=1
+    )
+    e_val = jnp.concatenate(
+        [recip, (accept[:, :, None] & recip_h).reshape(recip_h.shape[0], -1)],
+        axis=1,
+    )
+    return e_idx, e_val
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k1", "k2", "kh", "row_block", "q_block",
@@ -82,34 +126,8 @@ def _rerank_core(
     def v_block(rows):
         # rows: (B,) global row ids (may exceed n for the tail block).
         safe_rows = jnp.minimum(rows, n - 1)
-        fwd = rank_k1_safe[safe_rows]  # (B, k1+1)
-        # reciprocal test: i in top-(k1+1) of each forward neighbor
-        back = rank_k1_safe[fwd]  # (B, k1+1, k1+1)
-        recip = jnp.any(back == rows[:, None, None], axis=-1)  # (B, k1+1)
-
-        # half-k reciprocal sets of every candidate c = fwd[b, j]
-        ch_idx = rank_kh[fwd]  # (B, k1+1, kh)
-        ch_back = rank_kh[ch_idx]  # (B, k1+1, kh, kh)
-        recip_h = jnp.any(ch_back == fwd[:, :, None, None], axis=-1)  # (B,k1+1,kh)
-
-        # |R_half(c) ∩ R(i)| > 2/3 |R_half(c)|
-        eq = (
-            (ch_idx[:, :, :, None] == fwd[:, None, None, :])
-            & recip[:, None, None, :]
-        )
-        matched = jnp.any(eq, axis=-1) & recip_h  # (B, k1+1, kh)
-        inter_size = jnp.sum(matched, axis=-1)  # (B, k1+1)
-        rh_size = jnp.sum(recip_h, axis=-1)
-        accept = recip & (3 * inter_size > 2 * rh_size)
-
         # union(R(i), accepted R_half(c)) as a dense row mask via scatter-max
-        e_idx = jnp.concatenate(
-            [fwd, ch_idx.reshape(ch_idx.shape[0], -1)], axis=1
-        )
-        e_val = jnp.concatenate(
-            [recip, (accept[:, :, None] & recip_h).reshape(recip_h.shape[0], -1)],
-            axis=1,
-        )
+        e_idx, e_val = _expansion_sets(rows, rank_k1_safe, rank_kh, n)
         scat = jnp.where(e_val, e_idx, n)  # invalid -> dummy column
         b = rows.shape[0]
         mask = (
@@ -178,6 +196,12 @@ def k_reciprocal_rerank_sharded(
     qf = jnp.asarray(qf, jnp.float32)
     gf = jnp.asarray(gf, jnp.float32)
     num_g = gf.shape[0]
+    # Bound the PER-SHARD population, not the shard width: the core holds
+    # ~3 dense (num_q+shard)^2 fp32 buffers (od, V, V_qe), so a large query
+    # set must shrink the shards. At MSMT17 scale (num_q=11,659) the fixed
+    # 16k default put each shard at n=28k -> ~9GB of shard transients on
+    # top of the 3.8GB output accumulator and OOM'd a v5e (measured).
+    shard_size = min(shard_size, max(2048, 20_000 - int(qf.shape[0])))
     out = []
     for s in range(0, num_g, shard_size):
         g_shard = gf[s : s + shard_size]

@@ -1,0 +1,262 @@
+"""Exact-neighborhood k-reciprocal re-ranking for very large populations.
+
+The reference algorithm (reference: reranking.py:29-100) and the rebuild's
+small-population path (`rerank.k_reciprocal_rerank`) both hold dense
+(Q+G)^2 fp32 matrices; at MSMT17 scale (n = 93,820) that is ~35GB per
+matrix — more than any single accelerator's HBM, and the reason the
+Evaluator previously fell back to per-shard re-ranking whose SHARD-LOCAL
+neighborhoods cost a measured 1.74 mAP points (docs/DIVERGENCES.md #15).
+
+This module computes the same algorithm with GLOBAL neighborhoods at any
+population that fits features in HBM, by never materializing a dense
+fp32 n x n matrix:
+
+  A. global top-(k1+1) neighbor lists + per-row distance max, blockwise
+     (no all-pairs matrix; two streamed distance passes total),
+  B. the sparse-V insight: every V row has at most
+     E = (k1+1)*(kh+1) ~ 1.4k nonzeros (the expansion-set bound), so V
+     is stored as per-row (index, value) pairs — sort + first-occurrence
+     dedup replaces the dense scatter-max (~0.8GB at MSMT17, not 35GB),
+  C. query-expanded rows V_qe (reference: reranking.py:73-77) are
+     densified by scatter-add of k2 sparse rows and stored row-quantized
+     (fp8 values + fp32 per-row scale: 8.2GB at MSMT17 — fits HBM),
+  D. the Jaccard min-sum contraction runs as a VMEM-tiled Pallas kernel
+     (`ops.minsum`), and the final blend tracks the TRUE post-quantization
+     row sums sA/sB (jaccard = 1 - t/(sA+sB-t)), removing the first-order
+     quantization bias of assuming unit row sums.
+
+Approximation story: neighborhoods, expansion sets and acceptance tests
+are EXACT (integer decisions from global rank lists); the only error is
+value quantization (bf16 sparse V, fp8 V_qe), measured in
+tests/test_rerank_stream.py and BASELINE.md against the fully-exact path
+on populations where both run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpu_reid.ops.minsum import minsum
+from tpu_reid.retrieval.rerank import _expansion_sets
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _row_blocks(n: int, block: int) -> jax.Array:
+    nb = -(-n // block)
+    return jnp.arange(nb * block).reshape(nb, block)
+
+
+def _dist_rows(feat: jax.Array, sq: jax.Array, rows: jax.Array) -> jax.Array:
+    """(B, n) squared-euclidean rows, fp32-accumulated (parity with
+    retrieval.distance.euclidean_distmat)."""
+    cross = jnp.dot(feat[rows], feat.T, precision=_HIGHEST,
+                    preferred_element_type=jnp.float32)
+    return sq[rows][:, None] + sq[None, :] - 2.0 * cross
+
+
+@functools.partial(jax.jit, static_argnames=("k1p", "row_block"))
+def _global_ranks(feat, k1p, row_block):
+    """Pass A: top-(k1+1) lists (n, k1+1) + per-row distance max (n,).
+
+    The reference normalizes by per-column max then transposes
+    (reranking.py:46); for the symmetric all-pairs matrix that equals
+    dividing each row by its own max, which is rank-preserving — so
+    top-k runs on raw distances and the max is carried for the exp(-od)
+    weights."""
+    n = feat.shape[0]
+    sq = jnp.sum(feat * feat, axis=1)
+
+    def blk(rows):
+        safe = jnp.minimum(rows, n - 1)
+        d = _dist_rows(feat, sq, safe)
+        neg, idx = lax.top_k(-d, k1p)
+        return jnp.max(d, axis=1), idx.astype(jnp.int32)
+
+    rm, rk = lax.map(blk, _row_blocks(n, row_block))
+    return rm.reshape(-1)[:n], rk.reshape(-1, k1p)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kh", "row_block", "val_dtype")
+)
+def _sparse_v(feat, rowmax, rank_k1, kh, row_block, val_dtype):
+    """Pass B: V rows in sparse (index, value) form.
+
+    Per row: expansion candidates from `_expansion_sets`, invalid ->
+    sentinel n, sort indices ascending, keep first occurrences (dedup —
+    equivalent to the dense scatter-max since duplicates carry the same
+    weight), gather od at the kept columns, exp(-od), normalize to unit
+    sum. Returns (sidx (n, E) int32 with sentinel n, sval (n, E))."""
+    n = feat.shape[0]
+    sq = jnp.sum(feat * feat, axis=1)
+    rank_kh = rank_k1[:, :kh]
+
+    def blk(rows):
+        safe = jnp.minimum(rows, n - 1)
+        od_rows = _dist_rows(feat, sq, safe) / rowmax[safe][:, None]
+        e_idx, e_val = _expansion_sets(rows, rank_k1, rank_kh, n)
+        sorted_idx = lax.sort(jnp.where(e_val, e_idx, n), dimension=-1)
+        prev = jnp.pad(sorted_idx[:, :-1], ((0, 0), (1, 0)),
+                       constant_values=-1)
+        valid = (sorted_idx < n) & (sorted_idx != prev)
+        safe_col = jnp.minimum(sorted_idx, n - 1)
+        w = jnp.exp(-jnp.take_along_axis(od_rows, safe_col, axis=1))
+        w = jnp.where(valid, w, 0.0)
+        w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+        return jnp.where(valid, sorted_idx, n), w.astype(val_dtype)
+
+    sidx, sval = lax.map(blk, _row_blocks(n, row_block))
+    e = sidx.shape[-1]
+    return sidx.reshape(-1, e)[:n], sval.reshape(-1, e)[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k2", "row_block", "n_rows", "n_rows_pad",
+                     "row_offset", "n_cols_pad", "qe_dtype"),
+)
+def _qe_rows_quantized(
+    sidx, sval, rank_k2, k2, row_block, n_rows, n_rows_pad, row_offset,
+    n_cols_pad, qe_dtype,
+):
+    """Pass C: query-expanded rows [row_offset, row_offset+n_rows) as a
+    dense row-quantized matrix (values (n_rows_pad, n_cols_pad) qe_dtype,
+    per-row fp32 scale, per-row fp32 TRUE sum after quantization).
+    n_rows_pad is pre-aligned to the contraction kernel's block size so
+    the multi-GB value buffer is never pad-copied downstream; padded rows
+    clamp to the last real row and are sliced away after the contraction.
+
+    V_qe[i] = mean of the V rows of i's k2 nearest neighbors
+    (reference: reranking.py:73-77; self included at rank 0). Built by
+    scatter-adding k2 sparse rows; the sentinel column n lands in the
+    padding region (or an extra trailing column) and is zeroed."""
+    n = rank_k2.shape[0]
+    fmax = (1.0 if qe_dtype == jnp.float32
+            else float(jnp.finfo(qe_dtype).max))
+    blocks = _row_blocks(n_rows_pad, row_block)
+    b = blocks.shape[1]
+    width = max(n_cols_pad, n + 1)
+
+    def blk(rows):
+        safe = jnp.minimum(rows, n_rows - 1) + row_offset
+        nbrs = rank_k2[safe]  # (B, k2)
+
+        def add_j(j, acc):
+            nb = nbrs[:, j]
+            return acc.at[jnp.arange(b)[:, None], sidx[nb]].add(
+                sval[nb].astype(jnp.float32)
+            )
+
+        acc = lax.fori_loop(
+            0, k2, add_j, jnp.zeros((b, width), jnp.float32)
+        )
+        acc = acc[:, :n_cols_pad] * (jnp.arange(n_cols_pad) < n) / k2
+        scale = jnp.maximum(jnp.max(acc, axis=1), 1e-30) / fmax
+        q = (acc / scale[:, None]).astype(qe_dtype)
+        qsum = jnp.sum(q.astype(jnp.float32), axis=1) * scale
+        return q, scale, qsum
+
+    q, scale, qsum = lax.map(blk, blocks)
+    return (
+        q.reshape(-1, n_cols_pad),
+        scale.reshape(-1),
+        qsum.reshape(-1)[:n_rows],
+    )
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("num_q", "num_g")
+)
+def _blend(t, qf, gf, rowmax, qsum, gsum, lambda_value, num_q, num_g):
+    """jaccard = 1 - t/(sA+sB-t) blended with the row-normalized original
+    distance (reference: reranking.py:95). `t` arrives row/col padded
+    from the kernel; the result is sliced to (num_q, num_g)."""
+    t_v = t[:num_q, :num_g]
+    denom = qsum[:, None] + gsum[None, :] - t_v
+    jac = 1.0 - t_v / jnp.maximum(denom, 1e-12)
+    cross = jnp.dot(qf, gf.T, precision=_HIGHEST,
+                    preferred_element_type=jnp.float32)
+    d = (jnp.sum(qf * qf, axis=1)[:, None]
+         + jnp.sum(gf * gf, axis=1)[None, :] - 2.0 * cross)
+    od_q = d / rowmax[:num_q, None]
+    return jac * (1.0 - lambda_value) + od_q * lambda_value
+
+
+def k_reciprocal_rerank_streamed(
+    qf,
+    gf,
+    k1: int = 50,
+    k2: int = 15,
+    lambda_value: float = 0.3,
+    row_block: int = 256,
+    block_a: int = 1024,
+    block_b: int = 1024,
+    block_c: int = 2048,
+    val_dtype=jnp.bfloat16,
+    qe_dtype=jnp.float8_e4m3fn,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """(Q, G) re-ranked distances with exact global k-reciprocal
+    neighborhoods at populations far beyond the dense path's HBM limit.
+
+    Peak HBM at MSMT17 scale (n=93,820): ~13GB — quantized V_qe for
+    queries (1.2GB) + gallery (7.8GB) + the fp32 output (4.1GB padded);
+    the sparse V (~0.8GB) is freed before the contraction. Pass
+    val_dtype=qe_dtype=jnp.float32 for a (memory-hungry) quantization-free
+    run — used by the parity tests against `k_reciprocal_rerank`.
+    """
+    qf = jnp.asarray(qf, jnp.float32)
+    gf = jnp.asarray(gf, jnp.float32)
+    num_q, num_g = int(qf.shape[0]), int(gf.shape[0])
+    feat = jnp.concatenate([qf, gf], axis=0)
+    n = num_q + num_g
+    k1 = min(k1, n - 1)
+    k2 = max(1, min(k2, n))
+    kh = min(int(np.around(k1 / 2)) + 1, n)
+    row_block = min(row_block, n)
+
+    rowmax, rank_k1 = _global_ranks(feat, k1 + 1, row_block)
+    sidx, sval = _sparse_v(feat, rowmax, rank_k1, kh, row_block, val_dtype)
+
+    rank_k2 = rank_k1[:, :k2]
+    n_cols_pad = _round_up(n, min(block_c, _round_up(n, 128)))
+    # rows pre-aligned to the kernel blocks so minsum never pad-copies
+    # the multi-GB value buffers; padded rows clamp + slice away
+    def _align(nr, blk):
+        rbe = min(row_block, _round_up(nr, 8))
+        pad = _round_up(nr, rbe)
+        if nr >= blk:
+            pad = _round_up(pad, blk)
+        return pad, rbe
+
+    na_pad, qrb = _align(num_q, block_a)
+    nb_pad, grb = _align(num_g, block_b)
+    a8, a_scale, a_sum = _qe_rows_quantized(
+        sidx, sval, rank_k2, k2, qrb, num_q, na_pad, 0, n_cols_pad,
+        qe_dtype,
+    )
+    b8, b_scale, b_sum = _qe_rows_quantized(
+        sidx, sval, rank_k2, k2, grb, num_g, nb_pad, num_q, n_cols_pad,
+        qe_dtype,
+    )
+    del sidx, sval
+
+    t = minsum(
+        a8, a_scale, b8, b_scale, use_pallas=use_pallas,
+        block_a=block_a, block_b=block_b, block_c=block_c,
+    )
+    del a8, b8
+    return _blend(
+        t, qf, gf, rowmax, a_sum, b_sum,
+        jnp.float32(lambda_value), num_q, num_g,
+    )
