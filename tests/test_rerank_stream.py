@@ -129,6 +129,44 @@ def test_minsum_zero_padding_exact():
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_streamed_rows_match_dense():
+    """The chunked row provider must reconstruct the dense streamed result
+    exactly (same pipeline, blend sliced per chunk) — including a tail
+    chunk that doesn't divide num_q and the metric-layer consumption."""
+    from tpu_reid.retrieval.metrics import cmc_map, cmc_map_from_rows
+    from tpu_reid.retrieval.rerank_stream import (
+        k_reciprocal_rerank_streamed_rows,
+    )
+
+    qf, gf, ids_q, ids_g = _workload(seed=13, nq=37, ng=150, noise=0.8)
+    dense = np.asarray(
+        k_reciprocal_rerank_streamed(
+            qf, gf, k1=15, k2=5,
+            val_dtype=jnp.float32, qe_dtype=jnp.float32,
+        )
+    )
+    row_fn, qc = k_reciprocal_rerank_streamed_rows(
+        qf, gf, k1=15, k2=5, q_chunk=16,
+        val_dtype=jnp.float32, qe_dtype=jnp.float32,
+    )
+    assert qc == 16
+    rebuilt = np.concatenate(
+        [np.asarray(row_fn(s)) for s in range(0, 37, qc)]
+    )[:37]
+    np.testing.assert_allclose(rebuilt, dense, atol=2e-5)
+
+    camq = np.zeros(len(ids_q), np.int64)
+    camg = np.ones(len(ids_g), np.int64)
+    cmc_d, map_d = cmc_map(
+        jnp.asarray(dense), ids_q, ids_g, camq, camg, max_rank=10
+    )
+    cmc_r, map_r = cmc_map_from_rows(
+        row_fn, qc, ids_q, ids_g, camq, camg, max_rank=10
+    )
+    np.testing.assert_allclose(np.asarray(cmc_r), np.asarray(cmc_d), atol=1e-6)
+    np.testing.assert_allclose(float(map_r), float(map_d), atol=1e-6)
+
+
 def test_evaluator_streamed_mode():
     """Evaluator(rerank_mode='streamed') runs the streamed path end to end
     and lands within tolerance of rerank_mode='exact'."""

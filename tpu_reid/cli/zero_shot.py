@@ -117,6 +117,10 @@ def main():
         )
         log.log("extracted", gallery=len(g_pids), query=len(q_pids))
 
+    # model weights are dead after extraction; at MSMT17 scale the
+    # re-ranking evaluator needs every GB of HBM they pin
+    del extractor, params, sd
+
     with log.phase("evaluate"):
         cmc, mAP = Z.evaluate_zero_shot(
             q_feats, g_feats, q_pids, g_pids, q_cams, g_cams,

@@ -69,6 +69,58 @@ def _cmc_map_stats(
     return ap_sum, valid_count, hit_counts
 
 
+def cmc_map_from_rows(
+    row_fn,
+    q_chunk: int,
+    q_pids: jax.Array,
+    g_pids: jax.Array,
+    q_camids: jax.Array,
+    g_camids: jax.Array,
+    max_rank: int = 50,
+) -> tuple[jax.Array, jax.Array]:
+    """(cmc[max_rank], mAP) from lazily-produced distance rows.
+
+    ``row_fn(start)`` must return the fp32 ``(q_chunk, num_g)`` distance
+    block for queries [start, start+q_chunk); start walks multiples of
+    q_chunk. Each block is consumed into per-chunk sufficient statistics
+    immediately, so the full (Q, G) matrix never exists — the memory-
+    critical consumer is MSMT17-scale streamed re-ranking, where even one
+    extra dense buffer breaks the HBM budget. Rows past num_q in the tail
+    block may hold arbitrary values: they are excluded by the pid -1 mask.
+    """
+    q_pids = jnp.asarray(q_pids)
+    q_camids = jnp.asarray(q_camids)
+    g_pids = jnp.asarray(g_pids)
+    g_camids = jnp.asarray(g_camids)
+    num_q = int(q_pids.shape[0])
+    max_rank = min(max_rank, int(g_pids.shape[0]))
+
+    ap_sum = 0.0
+    valid_count = 0.0
+    hit_counts = jnp.zeros((max_rank,), jnp.float32)
+    for s in range(0, num_q, q_chunk):
+        e = min(s + q_chunk, num_q)
+        dm = row_fn(s)
+        if e - s < q_chunk:
+            # padded rows use pid -1: they match nothing -> invalid -> excluded
+            pad = q_chunk - (e - s)
+            qp = jnp.concatenate(
+                [q_pids[s:e], jnp.full((pad,), -1, q_pids.dtype)]
+            )
+            qc = jnp.concatenate(
+                [q_camids[s:e], jnp.zeros((pad,), q_camids.dtype)]
+            )
+        else:
+            qp, qc = q_pids[s:e], q_camids[s:e]
+        a, v, h = _cmc_map_stats(dm, qp, g_pids, qc, g_camids, max_rank)
+        ap_sum = ap_sum + a
+        valid_count = valid_count + v
+        hit_counts = hit_counts + h
+
+    denom = jnp.maximum(valid_count, 1.0)
+    return hit_counts / denom, ap_sum / denom
+
+
 def cmc_map(
     distmat: jax.Array,
     q_pids: jax.Array,
@@ -85,40 +137,21 @@ def cmc_map(
     one buffer — the full MSMT17 matrix breaks the compiler's buffer
     budget, 2,048-query chunks do not."""
     distmat = jnp.asarray(distmat)
-    q_pids = jnp.asarray(q_pids)
-    q_camids = jnp.asarray(q_camids)
-    g_pids = jnp.asarray(g_pids)
-    g_camids = jnp.asarray(g_camids)
     num_q, num_g = distmat.shape
-    max_rank = min(max_rank, num_g)
-
-    ap_sum = 0.0
-    valid_count = 0.0
-    hit_counts = jnp.zeros((max_rank,), jnp.float32)
     step = min(q_chunk, num_q)
-    for s in range(0, num_q, step):
-        e = min(s + step, num_q)
-        if e - s < step:  # pad the tail chunk to keep one compiled shape
-            pad = step - (e - s)
-            dm = jnp.concatenate(
-                [distmat[s:e], jnp.zeros((pad, num_g), distmat.dtype)]
-            )
-            # padded rows use pid -1: they match nothing -> invalid -> excluded
-            qp = jnp.concatenate(
-                [q_pids[s:e], jnp.full((pad,), -1, q_pids.dtype)]
-            )
-            qc = jnp.concatenate(
-                [q_camids[s:e], jnp.zeros((pad,), q_camids.dtype)]
-            )
-        else:
-            dm, qp, qc = distmat[s:e], q_pids[s:e], q_camids[s:e]
-        a, v, h = _cmc_map_stats(dm, qp, g_pids, qc, g_camids, max_rank)
-        ap_sum = ap_sum + a
-        valid_count = valid_count + v
-        hit_counts = hit_counts + h
 
-    denom = jnp.maximum(valid_count, 1.0)
-    return hit_counts / denom, ap_sum / denom
+    def rows(s):
+        e = min(s + step, num_q)
+        blk = distmat[s:e]
+        if e - s < step:  # pad the tail chunk to keep one compiled shape
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((step - (e - s), num_g), distmat.dtype)]
+            )
+        return blk
+
+    return cmc_map_from_rows(
+        rows, step, q_pids, g_pids, q_camids, g_camids, max_rank=max_rank
+    )
 
 
 class Evaluator:
@@ -199,12 +232,22 @@ class Evaluator:
                 )
             elif mode == "streamed":
                 from tpu_reid.retrieval.rerank_stream import (
-                    k_reciprocal_rerank_streamed,
+                    k_reciprocal_rerank_streamed_rows,
                 )
 
-                distmat = k_reciprocal_rerank_streamed(
+                # blend + metric run per query-chunk: a second full
+                # (Q, G) buffer next to the pipeline's ~13GB working set
+                # is exactly what OOM'd the 16GB chip at MSMT17 scale
+                row_fn, q_chunk = k_reciprocal_rerank_streamed_rows(
                     qf, gf, k1=k1, k2=k2, lambda_value=lam
                 )
+                cmc, mean_ap = cmc_map_from_rows(
+                    row_fn, q_chunk,
+                    jnp.asarray(q_pids), jnp.asarray(g_pids),
+                    jnp.asarray(q_camids), jnp.asarray(g_camids),
+                    max_rank=self.max_rank,
+                )
+                return np.asarray(cmc), float(mean_ap)
             else:
                 distmat = k_reciprocal_rerank_sharded(
                     qf, gf, k1=k1, k2=k2, lambda_value=lam

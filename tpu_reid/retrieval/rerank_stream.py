@@ -192,31 +192,24 @@ def _blend(t, qf, gf, rowmax, qsum, gsum, lambda_value, num_q, num_g):
     return jac * (1.0 - lambda_value) + od_q * lambda_value
 
 
-def k_reciprocal_rerank_streamed(
+def _streamed_core(
     qf,
     gf,
-    k1: int = 50,
-    k2: int = 15,
-    lambda_value: float = 0.3,
-    row_block: int = 256,
-    block_a: int = 1024,
-    block_b: int = 1024,
-    block_c: int = 2048,
-    val_dtype=jnp.bfloat16,
-    qe_dtype=jnp.float8_e4m3fn,
-    use_pallas: bool | None = None,
-) -> jax.Array:
-    """(Q, G) re-ranked distances with exact global k-reciprocal
-    neighborhoods at populations far beyond the dense path's HBM limit.
-
-    Peak HBM at MSMT17 scale (n=93,820): ~13GB — quantized V_qe for
-    queries (1.2GB) + gallery (7.8GB) + the fp32 output (4.1GB padded);
-    the sparse V (~0.8GB) is freed before the contraction. Pass
-    val_dtype=qe_dtype=jnp.float32 for a (memory-hungry) quantization-free
-    run — used by the parity tests against `k_reciprocal_rerank`.
-    """
-    qf = jnp.asarray(qf, jnp.float32)
-    gf = jnp.asarray(gf, jnp.float32)
+    k1: int,
+    k2: int,
+    row_block: int,
+    block_a: int,
+    block_b: int,
+    block_c: int,
+    val_dtype,
+    qe_dtype,
+    use_pallas: bool | None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Passes A-D (everything but the final blend): returns
+    (t, rowmax, a_sum, b_sum) where t is the (na_pad, nb_pad) min-sum
+    contraction, rowmax the per-row distance max over the full
+    population, and a_sum/b_sum the true post-quantization V_qe row sums
+    for queries/gallery."""
     num_q, num_g = int(qf.shape[0]), int(gf.shape[0])
     feat = jnp.concatenate([qf, gf], axis=0)
     n = num_q + num_g
@@ -256,7 +249,130 @@ def k_reciprocal_rerank_streamed(
         block_a=block_a, block_b=block_b, block_c=block_c,
     )
     del a8, b8
+    return t, rowmax, a_sum, b_sum
+
+
+def k_reciprocal_rerank_streamed(
+    qf,
+    gf,
+    k1: int = 50,
+    k2: int = 15,
+    lambda_value: float = 0.3,
+    row_block: int = 256,
+    block_a: int = 1024,
+    block_b: int = 1024,
+    block_c: int = 2048,
+    val_dtype=jnp.bfloat16,
+    qe_dtype=jnp.float8_e4m3fn,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """(Q, G) re-ranked distances with exact global k-reciprocal
+    neighborhoods at populations far beyond the dense path's HBM limit.
+
+    Peak HBM at MSMT17 scale (n=93,820): ~13GB — quantized V_qe for
+    queries (1.2GB) + gallery (7.8GB) + the fp32 output (4.1GB padded);
+    the sparse V (~0.8GB) is freed before the contraction. Pass
+    val_dtype=qe_dtype=jnp.float32 for a (memory-hungry) quantization-free
+    run — used by the parity tests against `k_reciprocal_rerank`.
+
+    NOTE: the returned dense (Q, G) matrix plus the blend transients add
+    several more GB on top of the pipeline peak; when the caller only
+    needs CMC/mAP, use `k_reciprocal_rerank_streamed_rows` +
+    `metrics.cmc_map_from_rows` instead, which never materializes a
+    second full-size buffer (this is what Evaluator's streamed mode does).
+    """
+    qf = jnp.asarray(qf, jnp.float32)
+    gf = jnp.asarray(gf, jnp.float32)
+    num_q, num_g = int(qf.shape[0]), int(gf.shape[0])
+    t, rowmax, a_sum, b_sum = _streamed_core(
+        qf, gf, k1, k2, row_block, block_a, block_b, block_c,
+        val_dtype, qe_dtype, use_pallas,
+    )
     return _blend(
         t, qf, gf, rowmax, a_sum, b_sum,
         jnp.float32(lambda_value), num_q, num_g,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_chunk", "num_g")
+)
+def _blend_chunk(
+    t, qf_pad, gf, g_sq, rowmax_q_pad, a_sum_pad, b_sum,
+    lambda_value, start, q_chunk, num_g,
+):
+    """`_blend` for rows [start, start+q_chunk): same math, one chunk of
+    output — the only full-size buffer it touches is `t` (read-only)."""
+    t_rows = lax.dynamic_slice_in_dim(t, start, q_chunk, axis=0)[:, :num_g]
+    qfr = lax.dynamic_slice_in_dim(qf_pad, start, q_chunk, axis=0)
+    a_sum_r = lax.dynamic_slice_in_dim(a_sum_pad, start, q_chunk, axis=0)
+    rowmax_r = lax.dynamic_slice_in_dim(rowmax_q_pad, start, q_chunk, axis=0)
+    denom = a_sum_r[:, None] + b_sum[None, :] - t_rows
+    jac = 1.0 - t_rows / jnp.maximum(denom, 1e-12)
+    cross = jnp.dot(qfr, gf.T, precision=_HIGHEST,
+                    preferred_element_type=jnp.float32)
+    d = jnp.sum(qfr * qfr, axis=1)[:, None] + g_sq[None, :] - 2.0 * cross
+    od_q = d / rowmax_r[:, None]
+    return jac * (1.0 - lambda_value) + od_q * lambda_value
+
+
+def k_reciprocal_rerank_streamed_rows(
+    qf,
+    gf,
+    k1: int = 50,
+    k2: int = 15,
+    lambda_value: float = 0.3,
+    q_chunk: int = 1024,
+    **kw,
+):
+    """Row-provider variant: returns ``(row_fn, q_chunk)`` where
+    ``row_fn(start)`` yields the fp32 ``(q_chunk, num_g)`` block of
+    re-ranked distances for queries [start, start+q_chunk) — start must
+    walk multiples of q_chunk as `metrics.cmc_map_from_rows` does.
+
+    Exists because at MSMT17 scale the pipeline's working set (quantized
+    V_qe + the min-sum output t) already sits at ~13GB; `_blend`'s dense
+    (Q, G) result + fused transients pushed the real-chip evaluation over
+    the 16GB HBM limit (RESOURCE_EXHAUSTED). Here the blend runs per
+    query-chunk (one ~0.3GB block at a time) and the metric consumes each
+    block immediately, so the peak stays at the pipeline's own ~13GB.
+
+    Rows past num_q (tail padding) are duplicates of the last real query
+    row; the metric layer masks them out via pid -1.
+    """
+    qf = jnp.asarray(qf, jnp.float32)
+    gf = jnp.asarray(gf, jnp.float32)
+    num_q, num_g = int(qf.shape[0]), int(gf.shape[0])
+    q_chunk = min(q_chunk, num_q)
+    t, rowmax, a_sum, b_sum = _streamed_core(
+        qf, gf, k1, k2,
+        kw.pop("row_block", 256), kw.pop("block_a", 1024),
+        kw.pop("block_b", 1024), kw.pop("block_c", 2048),
+        kw.pop("val_dtype", jnp.bfloat16),
+        kw.pop("qe_dtype", jnp.float8_e4m3fn),
+        kw.pop("use_pallas", None),
+    )
+    assert not kw, f"unknown kwargs: {kw}"
+    na_pad = int(t.shape[0])
+    need = _round_up(num_q, q_chunk)
+    if need > na_pad:
+        # only reachable with a custom q_chunk that doesn't divide the
+        # kernel row padding — small populations in practice, so the pad
+        # copy is cheap; the default q_chunk never triggers it
+        t = jnp.pad(t, ((0, need - na_pad), (0, 0)))
+        na_pad = need
+    qf_pad = jnp.pad(qf, ((0, na_pad - num_q), (0, 0)))
+    a_sum_pad = jnp.pad(a_sum, (0, na_pad - num_q), constant_values=1.0)
+    rowmax_q_pad = jnp.pad(
+        rowmax[:num_q], (0, na_pad - num_q), constant_values=1.0
+    )
+    g_sq = jnp.sum(gf * gf, axis=1)
+    lam = jnp.float32(lambda_value)
+
+    def row_fn(start: int) -> jax.Array:
+        return _blend_chunk(
+            t, qf_pad, gf, g_sq, rowmax_q_pad, a_sum_pad, b_sum,
+            lam, start, q_chunk, num_g,
+        )
+
+    return row_fn, q_chunk
