@@ -123,7 +123,11 @@ def test_sharded_rerank_improves_over_plain_distance():
     assert map_rr > map_plain - 0.02
 
 
-def test_evaluator_auto_switches_to_sharded():
+def test_evaluator_auto_switches_to_streamed():
+    """Above rerank_exact_limit, mode='auto' selects the STREAMED
+    exact-neighborhood path (chunked blend + row-streamed metrics) whose
+    only approximation is value quantization — so it must land nearly on
+    the exact path, not within the sharded mode's looser envelope."""
     import numpy as np
 
     from tpu_reid.retrieval import Evaluator
@@ -138,15 +142,14 @@ def test_evaluator_auto_switches_to_sharded():
     g_cams = (np.arange(60) + 1) % 3
 
     ev = Evaluator(num_query=20, max_rank=10, feat_norm=True, reranking=True)
-    ev.rerank_exact_limit = 10  # force the sharded bounded-memory path
+    ev.rerank_exact_limit = 10  # population 80 > 10 -> streamed path
     ev.update(qf, q_pids, q_cams)
     ev.update(gf, g_pids, g_cams)
-    cmc_sharded, map_sharded = ev.compute()
+    cmc_streamed, map_streamed = ev.compute()
 
     ev2 = Evaluator(num_query=20, max_rank=10, feat_norm=True, reranking=True)
     ev2.update(qf, q_pids, q_cams)
     ev2.update(gf, g_pids, g_cams)
     cmc_exact, map_exact = ev2.compute()
-    # both are valid re-ranked evaluations on clustered data
-    assert 0 <= map_sharded <= 1 and 0 <= map_exact <= 1
-    assert abs(float(map_sharded) - float(map_exact)) < 0.15
+    assert abs(float(map_streamed) - float(map_exact)) < 0.02
+    assert abs(float(cmc_streamed[0]) - float(cmc_exact[0])) < 0.06
