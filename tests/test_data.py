@@ -413,3 +413,23 @@ def test_synth_generator_layouts(tmp_path):
     msmt = get_dataset(str(tmp_path), "msmt17")
     assert msmt.num_train_pids == 5  # train+val merged, contiguous pids
     assert len(msmt.query) == 8 and len(msmt.gallery) == 20
+
+    from tpu_reid.tools.synth_market import write_images_vehicleid
+
+    write_images_vehicleid(str(tmp_path / "VehicleID_V1.0"), rng, 4, 5, 10,
+                           0, (32, 32))
+    vid = get_dataset(str(tmp_path), "vehicleid")
+    assert vid.num_train_pids == 4
+    # protocol: one random gallery image per test id, the rest are queries
+    assert len(vid.gallery) == 5
+    assert len(vid.query) == 5 * 2  # per_test=3 -> 2 queries/id
+    assert {r[2] for r in vid.query} == {0}
+    assert {r[2] for r in vid.gallery} == {1}
+
+    from tpu_reid.tools.synth_market import write_images_personx
+
+    write_images_personx(str(tmp_path / "PersonX_v1"), rng, 4, 3, 6, 12,
+                         (32, 16))
+    px = get_dataset(str(tmp_path), "personx")
+    assert px.num_train_pids == 4
+    assert len(px.query) == 6 and len(px.gallery) == 12

@@ -250,6 +250,102 @@ def write_images_msmt(out_base, rng, n_train_ids, n_test_ids, n_query,
     return n_total
 
 
+def write_images_vehicleid(out_base, rng, n_train_ids, n_test_ids, n_query,
+                           n_gallery, hw):
+    """VehicleID_V1.0 layout: flat `image/` dir + `train_test_split` list
+    files with `<name> <pid>` lines (reference parser:
+    datasets/dataset_vehicleid.py:100-153). The protocol derives query and
+    gallery from the test list itself — ONE random image per test id goes
+    to the gallery, the rest become queries — so `n_gallery` is implied by
+    `n_test_ids` and `n_query` sets the test-list density. All three
+    official list sizes (800/1600/2400) are written with the same ids so
+    any --test_size choice parses."""
+    from PIL import Image
+
+    img_dir = os.path.join(out_base, "image")
+    split_dir = os.path.join(out_base, "train_test_split")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(split_dir, exist_ok=True)
+    patterns = {}
+    counter = [0]
+
+    def save(pid):
+        if pid not in patterns:
+            patterns[pid] = _identity_pattern(rng, hw)
+        img = _render(rng, patterns[pid], hw)
+        name = f"{counter[0]:07d}"
+        counter[0] += 1
+        Image.fromarray(img).save(
+            os.path.join(img_dir, name + ".jpg"), quality=90
+        )
+        return name
+
+    n_total = 0
+    train_lines = []
+    # real VehicleID: ~8.6 images/vehicle in train
+    for pid in range(1, n_train_ids + 1):
+        for _ in range(9):
+            train_lines.append(f"{save(pid)} {pid}")
+            n_total += 1
+
+    per_test = max(2, -(-n_query // n_test_ids) + 1)
+    test_lines = []
+    for pid in range(n_train_ids + 1, n_train_ids + n_test_ids + 1):
+        for _ in range(per_test):
+            test_lines.append(f"{save(pid)} {pid}")
+
+    with open(os.path.join(split_dir, "train_list.txt"), "w") as f:
+        f.write("\n".join(train_lines) + "\n")
+    for size in (800, 1600, 2400):
+        with open(os.path.join(split_dir, f"test_list_{size}.txt"), "w") as f:
+            f.write("\n".join(test_lines) + "\n")
+    print(f"vehicleid protocol: {n_test_ids * (per_test - 1)} query / "
+          f"{n_test_ids} gallery (1 random image per test id)")
+    return n_total
+
+
+def write_images_personx(out_base, rng, n_train_ids, n_test_ids, n_query,
+                         n_gallery, hw):
+    """PersonX_v1 layout: the three rendered-view subsets `4/ 5/ 6/`, each
+    holding market-style bounding_box_train / query / bounding_box_test
+    dirs with `{pid}_c{cam}...` names (reference parser:
+    datasets/dataset_personx.py:14-43 globs all three subsets)."""
+    from PIL import Image
+
+    subs = ["4", "5", "6"]
+    for s in subs:
+        for d in ("bounding_box_train", "query", "bounding_box_test"):
+            os.makedirs(os.path.join(out_base, s, d), exist_ok=True)
+
+    train_pids = list(range(1, n_train_ids + 1))
+    test_pids = list(range(n_train_ids + 1, n_train_ids + n_test_ids + 1))
+    patterns = {}
+
+    def save(sub, d, pid, cam, frame):
+        if pid not in patterns:
+            patterns[pid] = _identity_pattern(rng, hw)
+        img = _render(rng, patterns[pid], hw)
+        name = f"{pid:04d}_c{cam}s1_{frame:06d}_00.jpg"
+        Image.fromarray(img).save(
+            os.path.join(out_base, sub, d, name), quality=90
+        )
+
+    n_total = 0
+    # real PersonX: ~12 images/id spread over the view subsets, 6 cams
+    for pid in train_pids:
+        for k in range(12):
+            save(subs[k % 3], "bounding_box_train", pid, 1 + k % 6, k)
+            n_total += 1
+    for i in range(n_query):
+        pid = test_pids[i % n_test_ids]
+        save(subs[i % 3], "query", pid, 1 + (i // n_test_ids) % 3, i)
+    for i in range(n_gallery):
+        pid = test_pids[i % n_test_ids]
+        save(subs[i % 3], "bounding_box_test", pid,
+             1 + (i // n_test_ids) % 6, 10000 + i)
+    return n_total
+
+
 def write_attributes(path, n_ids_total):
     """27-row market_attribute.mat over identities 0001..{n}."""
     from scipy import io as sio
@@ -331,12 +427,25 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_checkpoint", action="store_true")
     p.add_argument("--dataset", default="market1501",
-                   choices=["market1501", "dukemtmc", "veri", "msmt17"],
+                   choices=["market1501", "dukemtmc", "veri", "msmt17",
+                            "vehicleid", "personx"],
                    help="directory layout + filename scheme to emit")
     args = p.parse_args()
 
     rng = np.random.RandomState(args.seed)
-    if args.dataset == "msmt17":
+    if args.dataset == "vehicleid":
+        base = os.path.join(args.out, "VehicleID_V1.0")
+        n_train = write_images_vehicleid(
+            base, rng, args.train_ids, args.test_ids, args.query,
+            args.gallery, tuple(args.hw),
+        )
+    elif args.dataset == "personx":
+        base = os.path.join(args.out, "PersonX_v1")
+        n_train = write_images_personx(
+            base, rng, args.train_ids, args.test_ids, args.query,
+            args.gallery, tuple(args.hw),
+        )
+    elif args.dataset == "msmt17":
         base = os.path.join(args.out, "MSMT17_V2")
         n_train = write_images_msmt(
             base, rng, args.train_ids, args.test_ids, args.query,
