@@ -39,8 +39,8 @@ def params_parser():
     p.add_argument("--training_mode", type=str, default="coop",
                    choices=["coop", "ivlp", "promptsrc"])
     p.add_argument("--test_dataset", type=str, default="market1501",
-                   choices=["market1501", "dukemtmc", "msmt17", "veri",
-                            "vehicleid", "personx"])
+                   choices=["market1501", "dukemtmc", "msmt17", "msmt17_v1",
+                            "veri", "vehicleid", "personx"])
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--no_flip_tta", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
