@@ -250,3 +250,47 @@ def test_prompt_learning_promptsrc_metaclip_teacher(assets, monkeypatch,
         np.asarray(params["zs_visual"]["proj"]),
         np.asarray(params["clip"]["visual"]["proj"]),
     )
+
+
+def test_zero_shot_cli_devices(assets, monkeypatch):
+    """--devices 8: extraction runs through shard_map over the 8-device
+    mesh (conftest CPU mesh) end to end; the batch is padded+masked across
+    devices (gallery of 9 does not divide 8)."""
+    from tpu_reid.cli import zero_shot as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["zero_shot",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--attributes", assets["attr"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--devices", "8",
+         "--test_dataset", "market1501"],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+    assert cmc.shape[0] == 9
+
+
+def test_prompt_learning_cli_devices(assets, monkeypatch, tmp_path):
+    """--devices 8: both training stages (sharded-jit steps, gradient psum
+    from shardings) and the extraction sweep run over the mesh in one CLI
+    invocation."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--devices", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "coop",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0

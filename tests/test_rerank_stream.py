@@ -189,3 +189,52 @@ def test_evaluator_streamed_mode():
         results[mode] = (cmc, mAP)
     assert abs(results["exact"][1] - results["streamed"][1]) < 0.005
     assert abs(results["exact"][0][0] - results["streamed"][0][0]) < 0.02
+
+
+def test_streamed_sharded_matches_single_device():
+    """The multi-chip streamed path (every pass row-sharded over the
+    8-device mesh, gallery-side V_qe and t left sharded) computes the
+    IDENTICAL per-row math as the single-device pipeline — dense results
+    must agree to fp rounding, including when neither num_q nor num_g
+    divides the device count."""
+    from tpu_reid.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8)
+    for seed, nq, ng in [(21, 45, 187), (22, 64, 256), (23, 5, 61)]:
+        qf, gf, _, _ = _workload(seed=seed, nq=nq, ng=ng)
+        single = np.asarray(
+            k_reciprocal_rerank_streamed(qf, gf, k1=15, k2=5)
+        )
+        sharded = np.asarray(
+            k_reciprocal_rerank_streamed(qf, gf, k1=15, k2=5, mesh=mesh)
+        )
+        np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_streamed_sharded_rows_and_evaluator():
+    """Mesh-sharded rows provider + Evaluator(mesh=...) reproduce the
+    single-device streamed metrics exactly."""
+    from tpu_reid.parallel.mesh import make_mesh
+    from tpu_reid.retrieval.metrics import Evaluator
+
+    mesh = make_mesh(n_data=8)
+    qf, gf, ids_q, ids_g = _workload(seed=31, nq=53, ng=211, noise=0.8)
+    feats = np.concatenate([qf, gf], axis=0)
+    pids = np.concatenate([ids_q, ids_g])
+    camids = np.concatenate(
+        [np.zeros(len(ids_q), np.int64), np.ones(len(ids_g), np.int64)]
+    )
+    results = {}
+    for m in (None, mesh):
+        ev = Evaluator(
+            num_query=len(ids_q), max_rank=10, reranking=True,
+            rerank_params=(15, 5, 0.3), rerank_mode="streamed", mesh=m,
+        )
+        ev.update(jnp.asarray(feats), pids, camids)
+        results[m is not None] = ev.compute()
+    np.testing.assert_allclose(
+        results[True][0], results[False][0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results[True][1], results[False][1], atol=1e-6
+    )

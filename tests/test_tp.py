@@ -38,11 +38,11 @@ def test_tp_layout_roundtrip_single_block():
     x = jnp.asarray(RNG.normal(size=(2, 9, d)) * 0.3, jnp.float32)
 
     mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
-    from jax.experimental.shard_map import shard_map
+    from tpu_reid.parallel.mesh import shard_map_nocheck
 
-    got = shard_map(
+    got = shard_map_nocheck(
         lambda pp, xx: tp.tp_residual_block(pp, xx),
-        mesh=mesh1, in_specs=(P(), P()), out_specs=P(), check_rep=False,
+        mesh=mesh1, in_specs=(P(), P()), out_specs=P(),
     )(tp_p, x)
     want = L.residual_block(p, x, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
@@ -59,15 +59,14 @@ def test_tp_vit_matches_plain_on_2x4_mesh():
 
     params_tp = tp.tp_visual_layout(params, cfg.n_heads)
     params_tp = tp.shard_tp_visual(mesh, params_tp)
-    from jax.experimental.shard_map import shard_map
+    from tpu_reid.parallel.mesh import shard_map_nocheck
 
     specs = tp.tp_visual_specs(params_tp)
     t11, t12, tproj = jax.jit(
-        shard_map(
+        shard_map_nocheck(
             lambda pp, xx: tp.apply_vit_tp(pp, cfg, xx),
             mesh=mesh, in_specs=(specs, P("data")),
             out_specs=(P("data"), P("data"), P("data")),
-            check_rep=False,
         )
     )(params_tp, jax.device_put(
         images, jax.sharding.NamedSharding(mesh, P("data"))))

@@ -41,6 +41,9 @@ def params_parser():
                         "prompt_learning_multitask.py:730); hard variants "
                         "fix their mode (coop / ivlp)")
     p.add_argument("--vpt_ctx", default=2, type=int)
+    p.add_argument("--devices", default=1, type=int,
+                   help="shard training + extraction + streamed rerank "
+                        "over a 'data' mesh of this many devices")
     p.add_argument("--dtype", default="fp32", type=str,
                    choices=["fp32", "bf16"],
                    help="activation dtype for training (params stay fp32)")
@@ -121,6 +124,16 @@ def main():
         tinit = init_text(jax.random.key(2), cfg1.text)
         clip_params["text"].setdefault("vpt_deep", tinit["vpt_deep"])
 
+    mesh = None
+    put = lambda t: t  # noqa: E731
+    if args.devices > 1:
+        from tpu_reid.parallel.mesh import make_mesh, shard_batch
+
+        assert args.bs % args.devices == 0, \
+            f"--bs {args.bs} must divide by --devices {args.devices}"
+        mesh = make_mesh(n_data=args.devices)
+        put = lambda t: shard_batch(mesh, t)  # noqa: E731
+
     def train_batches(dataset, pp, bs, epoch, pk=False, pad_hw=(10, 10)):
         if pk:
             labels = [r[1] for r in dataset.train]
@@ -138,7 +151,7 @@ def main():
             imgs = pp.train_batch(
                 jnp.asarray(b.images), jax.random.fold_in(k, i), pad_hw=pad_hw
             )
-            yield imgs, jnp.asarray(b.pids), b.valid
+            yield put(imgs), put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid))
 
     if args.variant == "soft":
         # ONE model over n1+n2 merged classes; dataset-2 labels offset by n1
@@ -176,8 +189,9 @@ def main():
             loader = BatchLoader(records, args.bs, (h1, w1), order=order,
                                  seed=args.seed + 7919 * epoch)
             for b in loader:
-                yield (pp1.eval_batch(jnp.asarray(b.images)),
-                       jnp.asarray(b.pids) + offset, b.valid)
+                yield (put(pp1.eval_batch(jnp.asarray(b.images))),
+                       put(jnp.asarray(b.pids) + offset),
+                       put(jnp.asarray(b.valid)))
 
         def s1(epoch):
             gens = (eval_batches(ds1.train, 0, epoch),
@@ -218,12 +232,12 @@ def main():
         with log.phase("stage1"):
             params = TR.run_stage1(
                 params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
-                batch_size=args.bs, cached_order=cached_order,
+                batch_size=args.bs, cached_order=cached_order, mesh=mesh,
                 log=lambda s: log.log("train", msg=s),
             )
         with log.phase("stage2"):
             params = TR.run_stage2(
-                params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
+                params, mcfg, tcfg, s2, epochs=args.epochs_stage2, mesh=mesh,
                 log=lambda s: log.log("train", msg=s),
             )
         embed = lambda p, im: M.eval_embed(p, mcfg, im)
@@ -258,8 +272,8 @@ def main():
                 seed=args.seed + 7919 * epoch,
             )
             for b in loader:
-                yield (pp.eval_batch(jnp.asarray(b.images)),
-                       jnp.asarray(b.pids), b.valid)
+                yield (put(pp.eval_batch(jnp.asarray(b.images))),
+                       put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid)))
 
         def s1(epoch):
             # plain hard drains both loaders (`or`); ivlp stops at the
@@ -280,12 +294,12 @@ def main():
 
         with log.phase("stage1"):
             params = MT.run_mt_stage1(
-                params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
+                params, mcfg, tcfg, s1, epochs=args.epochs_stage1, mesh=mesh,
                 log=lambda s: log.log("train", msg=s),
             )
         with log.phase("stage2"):
             params = MT.run_mt_stage2(
-                params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
+                params, mcfg, tcfg, s2, epochs=args.epochs_stage2, mesh=mesh,
                 xbm_capacity=2 * args.bs,
                 log=lambda s: log.log("train", msg=s),
             )
@@ -296,15 +310,17 @@ def main():
         test_ds = get_dataset(args.root, args.test_dataset)
         pp = pp1 if args.test_dataset == args.train_dataset else pp2
         h, w = pp.size_hw
-        extractor = make_extractor(embed, pp, flip_tta=True)
+        extractor = make_extractor(embed, pp, flip_tta=True, mesh=mesh)
         g_feats, g_pids, g_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w))
+            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w)),
+            mesh=mesh,
         )
         q_feats, q_pids, q_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w))
+            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w)),
+            mesh=mesh,
         )
         ev = Evaluator(num_query=len(q_pids), max_rank=20, feat_norm=True,
-                       reranking=args.rerank)
+                       reranking=args.rerank, mesh=mesh)
         ev.update(q_feats, q_pids, q_cams)
         ev.update(g_feats, g_pids, g_cams)
         cmc, mAP = ev.compute()

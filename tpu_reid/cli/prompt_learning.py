@@ -43,6 +43,10 @@ def params_parser():
     p.add_argument("--pretrained_vpt", default=None, type=str,
                    help="IVLP ImageNet-pretrained VPT checkpoint "
                         "(reference: clip_imagenet_pretrained_ivlp.pth.tar-5)")
+    p.add_argument("--devices", default=1, type=int,
+                   help="shard training + extraction + streamed rerank "
+                        "over a 'data' mesh of this many devices "
+                        "(reference is single-GPU; SURVEY.md §2.6)")
     p.add_argument("--dtype", default="fp32", type=str,
                    choices=["fp32", "bf16"],
                    help="activation dtype for training AND extraction; bf16 "
@@ -218,6 +222,16 @@ def main():
     pp = DevicePreprocess((h, w), "vit", dtype=dtype)
     key = jax.random.key(args.seed)
 
+    mesh = None
+    put = lambda t: t  # noqa: E731
+    if args.devices > 1:
+        from tpu_reid.parallel.mesh import make_mesh, shard_batch
+
+        assert args.bs % args.devices == 0, \
+            f"--bs {args.bs} must divide by --devices {args.devices}"
+        mesh = make_mesh(n_data=args.devices)
+        put = lambda t: shard_batch(mesh, t)  # noqa: E731
+
     def stage1_batches(epoch):
         # stage 1 always consumes the VAL-transform loader — deterministic
         # resize+normalize, shuffled order — for both the cached and the
@@ -229,7 +243,8 @@ def main():
             seed=args.seed + epoch, drop_tail=epoch > 0,
         )
         for b in loader:
-            yield pp.eval_batch(jnp.asarray(b.images)), jnp.asarray(b.pids), b.valid
+            yield (put(pp.eval_batch(jnp.asarray(b.images))),
+                   put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid)))
 
     def stage2_batches(epoch):
         labels = [r[1] for r in dataset.train]
@@ -243,7 +258,7 @@ def main():
                 jnp.asarray(b.images), jax.random.fold_in(k, i),
                 pad_hw=(10, 10),
             )
-            yield imgs, jnp.asarray(b.pids), b.valid
+            yield put(imgs), put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid))
 
     tcfg = TR.TrainConfig(
         epochs_stage1=args.epochs_stage1, epochs_stage2=args.epochs_stage2
@@ -319,7 +334,7 @@ def main():
         with log.phase("stage1"):
             params = TR.run_stage1(
                 params, mcfg, tcfg, stage1_batches, epochs=args.epochs_stage1,
-                batch_size=args.bs, guard=make_guard(),
+                batch_size=args.bs, mesh=mesh, guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
                 checkpoint_cb=cb(0, lambda e: e),
                 start_epoch=start1, init_opt_state=opt1, init_gpa=gpa1,
@@ -331,7 +346,7 @@ def main():
         with log.phase("stage2"):
             params = TR.run_stage2(
                 params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
-                guard=make_guard(),
+                mesh=mesh, guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
                 checkpoint_cb=cb(1, lambda e: args.epochs_stage1 + e),
                 start_epoch=start2, init_opt_state=opt2, init_gpa=gpa2,
@@ -345,16 +360,19 @@ def main():
         test_ds = get_dataset(args.root, args.test_dataset)
         extractor = make_extractor(
             lambda p, im: M.eval_embed(p, mcfg, im), pp, flip_tta=True,
+            mesh=mesh,
         )
         g_feats, g_pids, g_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w))
+            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w)),
+            mesh=mesh,
         )
         q_feats, q_pids, q_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w))
+            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w)),
+            mesh=mesh,
         )
         ev = Evaluator(
             num_query=len(q_pids), max_rank=10, feat_norm=True,
-            reranking=args.rerank,
+            reranking=args.rerank, mesh=mesh,
         )
         ev.update(q_feats, q_pids, q_cams)
         ev.update(g_feats, g_pids, g_cams)

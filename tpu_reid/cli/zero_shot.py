@@ -42,6 +42,9 @@ def params_parser():
                    choices=["market1501", "dukemtmc", "msmt17", "msmt17_v1",
                             "veri", "vehicleid", "personx"])
     p.add_argument("--rerank", action="store_true")
+    p.add_argument("--devices", default=1, type=int,
+                   help="shard extraction + streamed rerank over a 'data' "
+                        "mesh of this many devices")
     p.add_argument("--no_flip_tta", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
     return p.parse_args()
@@ -100,20 +103,28 @@ def main():
             augmented=args.augmented_template or not args.attributes,
         )
 
+    mesh = None
+    if args.devices > 1:
+        from tpu_reid.parallel.mesh import make_mesh
+
+        assert args.bs % args.devices == 0, \
+            f"--bs {args.bs} must divide by --devices {args.devices}"
+        mesh = make_mesh(n_data=args.devices)
+
     with log.phase("extract"):
         dataset = get_dataset(args.root, args.test_dataset)
         pp = DevicePreprocess((h, w), model_type, dtype=jnp.bfloat16)
         extractor = make_extractor(
             Z.make_zeroshot_embed(params, cfg), pp,
-            flip_tta=not args.no_flip_tta, dtype=jnp.bfloat16,
+            flip_tta=not args.no_flip_tta, dtype=jnp.bfloat16, mesh=mesh,
         )
         g_feats, g_pids, g_cams, _ = extract_embeddings(
             extractor, params,
-            BatchLoader(dataset.gallery, args.bs, (h, w)),
+            BatchLoader(dataset.gallery, args.bs, (h, w)), mesh=mesh,
         )
         q_feats, q_pids, q_cams, _ = extract_embeddings(
             extractor, params,
-            BatchLoader(dataset.query, args.bs, (h, w)),
+            BatchLoader(dataset.query, args.bs, (h, w)), mesh=mesh,
         )
         log.log("extracted", gallery=len(g_pids), query=len(q_pids))
 
@@ -126,6 +137,7 @@ def main():
             q_feats, g_feats, q_pids, g_pids, q_cams, g_cams,
             zs_weights=zs_weights, proj_dim=cfg.embed_dim,
             multimodal=args.mm, max_rank=50, reranking=args.rerank,
+            mesh=mesh,
         )
     def rank(k):  # gallery may be smaller than max_rank
         return float(cmc[min(k - 1, len(cmc) - 1)])

@@ -52,7 +52,7 @@ def make_extractor(
     # which do not auto-partition under plain sharded jit) on its local
     # batch shard; params are replicated, no collectives needed.
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from tpu_reid.parallel.mesh import shard_map_nocheck
 
     from tpu_reid.models.layers import attention_impl
 
@@ -62,11 +62,10 @@ def make_extractor(
         with attention_impl(impl):
             return step(params, images_u8)
 
-    sharded = shard_map(
+    sharded = shard_map_nocheck(
         step_local, mesh=mesh,
         in_specs=(P(), P("data")),
         out_specs=P("data"),
-        check_rep=False,
     )
     return jax.jit(sharded)
 

@@ -56,3 +56,19 @@ def replicate(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
+
+
+def shard_map_nocheck(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across jax versions
+    (jax >= 0.8: `jax.shard_map(check_vma=...)`; older: experimental
+    `shard_map(check_rep=...)`). Checking is off because every wrapped
+    body here uses `lax.axis_index` / per-device row offsets, which the
+    replication checker cannot type."""
+    try:
+        from jax import shard_map as _sm
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except (ImportError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from tpu_reid.parallel.mesh import shard_map_nocheck
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_reid.configs import VisionConfig
@@ -280,12 +280,11 @@ def make_tp_extractor(
 
     def step(params, images_u8):
         specs = tp_visual_specs(params)
-        return shard_map(
+        return shard_map_nocheck(
             local,
             mesh=mesh,
             in_specs=(specs, P("data")),
             out_specs=P("data"),
-            check_rep=False,
         )(params, images_u8)
 
     return jax.jit(step)

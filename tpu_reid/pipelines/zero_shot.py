@@ -135,6 +135,7 @@ def evaluate_zero_shot(
     multimodal: bool = False,
     max_rank: int = 50,
     reranking: bool = False,
+    mesh=None,
 ) -> Tuple[np.ndarray, float]:
     """Final ranking: optional mm transform, then CMC/mAP on device."""
     if multimodal:
@@ -146,6 +147,7 @@ def evaluate_zero_shot(
         max_rank=max_rank,
         feat_norm=True,
         reranking=reranking,
+        mesh=mesh,
     )
     ev.update(query_feats, q_pids, q_camids)
     ev.update(gallery_feats, g_pids, g_camids)

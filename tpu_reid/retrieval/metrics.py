@@ -171,12 +171,17 @@ class Evaluator:
         reranking: bool = False,
         rerank_params: tuple[int, int, float] = (50, 15, 0.3),
         rerank_mode: str = "auto",
+        mesh=None,
     ):
         self.num_query = num_query
         self.max_rank = max_rank
         self.feat_norm = feat_norm
         self.reranking = reranking
         self.rerank_params = rerank_params
+        # multi-device mesh for the streamed re-rank: shards every pass's
+        # rows and the gallery-side V_qe over the "data" axis
+        # (rerank_stream._streamed_core_sharded); ignored by other modes
+        self.mesh = mesh
         # above this population the dense all-pairs re-rank would not fit
         # HBM; "auto" switches to the streamed exact-neighborhood mode
         # (sparse V + quantized V_qe + tiled min-sum kernel). "sharded"
@@ -239,7 +244,7 @@ class Evaluator:
                 # (Q, G) buffer next to the pipeline's ~13GB working set
                 # is exactly what OOM'd the 16GB chip at MSMT17 scale
                 row_fn, q_chunk = k_reciprocal_rerank_streamed_rows(
-                    qf, gf, k1=k1, k2=k2, lambda_value=lam
+                    qf, gf, k1=k1, k2=k2, lambda_value=lam, mesh=self.mesh
                 )
                 cmc, mean_ap = cmc_map_from_rows(
                     row_fn, q_chunk,

@@ -64,47 +64,57 @@ def _dist_rows(feat: jax.Array, sq: jax.Array, rows: jax.Array) -> jax.Array:
     return sq[rows][:, None] + sq[None, :] - 2.0 * cross
 
 
-@functools.partial(jax.jit, static_argnames=("k1p", "row_block"))
-def _global_ranks(feat, k1p, row_block):
-    """Pass A: top-(k1+1) lists (n, k1+1) + per-row distance max (n,).
+def _global_ranks_core(feat, start, *, n, k1p, row_block, n_out):
+    """Pass A body for rows [start, start+n_out) of the population.
 
     The reference normalizes by per-column max then transposes
     (reranking.py:46); for the symmetric all-pairs matrix that equals
     dividing each row by its own max, which is rank-preserving — so
     top-k runs on raw distances and the max is carried for the exp(-od)
-    weights."""
-    n = feat.shape[0]
+    weights. `start` may be traced (the multi-chip path derives it from
+    `lax.axis_index`)."""
     sq = jnp.sum(feat * feat, axis=1)
 
     def blk(rows):
-        safe = jnp.minimum(rows, n - 1)
+        safe = jnp.minimum(start + rows, n - 1)
         d = _dist_rows(feat, sq, safe)
         neg, idx = lax.top_k(-d, k1p)
         return jnp.max(d, axis=1), idx.astype(jnp.int32)
 
-    rm, rk = lax.map(blk, _row_blocks(n, row_block))
-    return rm.reshape(-1)[:n], rk.reshape(-1, k1p)[:n]
+    rm, rk = lax.map(blk, _row_blocks(n_out, row_block))
+    return rm.reshape(-1)[:n_out], rk.reshape(-1, k1p)[:n_out]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("kh", "row_block", "val_dtype")
-)
-def _sparse_v(feat, rowmax, rank_k1, kh, row_block, val_dtype):
-    """Pass B: V rows in sparse (index, value) form.
+@functools.partial(jax.jit, static_argnames=("k1p", "row_block"))
+def _global_ranks(feat, k1p, row_block):
+    """Pass A: top-(k1+1) lists (n, k1+1) + per-row distance max (n,)."""
+    n = feat.shape[0]
+    return _global_ranks_core(
+        feat, 0, n=n, k1p=k1p, row_block=row_block, n_out=n
+    )
+
+
+def _sparse_v_core(
+    feat, rowmax, rank_k1, start, *, n, kh, row_block, val_dtype, n_out
+):
+    """Pass B body for rows [start, start+n_out): V rows in sparse
+    (index, value) form.
 
     Per row: expansion candidates from `_expansion_sets`, invalid ->
     sentinel n, sort indices ascending, keep first occurrences (dedup —
     equivalent to the dense scatter-max since duplicates carry the same
     weight), gather od at the kept columns, exp(-od), normalize to unit
-    sum. Returns (sidx (n, E) int32 with sentinel n, sval (n, E))."""
-    n = feat.shape[0]
+    sum. Returns (sidx (n_out, E) int32 with sentinel n, sval (n_out, E)).
+    `rank_k1` may carry padded junk rows past n — they are never gathered
+    (neighbor ids are always < n)."""
     sq = jnp.sum(feat * feat, axis=1)
     rank_kh = rank_k1[:, :kh]
 
     def blk(rows):
-        safe = jnp.minimum(rows, n - 1)
+        g_rows = start + rows
+        safe = jnp.minimum(g_rows, n - 1)
         od_rows = _dist_rows(feat, sq, safe) / rowmax[safe][:, None]
-        e_idx, e_val = _expansion_sets(rows, rank_k1, rank_kh, n)
+        e_idx, e_val = _expansion_sets(g_rows, rank_k1, rank_kh, n)
         sorted_idx = lax.sort(jnp.where(e_val, e_idx, n), dimension=-1)
         prev = jnp.pad(sorted_idx[:, :-1], ((0, 0), (1, 0)),
                        constant_values=-1)
@@ -115,40 +125,47 @@ def _sparse_v(feat, rowmax, rank_k1, kh, row_block, val_dtype):
         w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
         return jnp.where(valid, sorted_idx, n), w.astype(val_dtype)
 
-    sidx, sval = lax.map(blk, _row_blocks(n, row_block))
+    sidx, sval = lax.map(blk, _row_blocks(n_out, row_block))
     e = sidx.shape[-1]
-    return sidx.reshape(-1, e)[:n], sval.reshape(-1, e)[:n]
+    return sidx.reshape(-1, e)[:n_out], sval.reshape(-1, e)[:n_out]
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("k2", "row_block", "n_rows", "n_rows_pad",
-                     "row_offset", "n_cols_pad", "qe_dtype"),
+    jax.jit, static_argnames=("kh", "row_block", "val_dtype")
 )
-def _qe_rows_quantized(
-    sidx, sval, rank_k2, k2, row_block, n_rows, n_rows_pad, row_offset,
+def _sparse_v(feat, rowmax, rank_k1, kh, row_block, val_dtype):
+    """Pass B over all n rows (single-device)."""
+    n = feat.shape[0]
+    return _sparse_v_core(
+        feat, rowmax, rank_k1, 0,
+        n=n, kh=kh, row_block=row_block, val_dtype=val_dtype, n_out=n,
+    )
+
+
+def _qe_core(
+    sidx, sval, rank_k2, start, *, n, k2, row_block, n_out, seg_len, base,
     n_cols_pad, qe_dtype,
 ):
-    """Pass C: query-expanded rows [row_offset, row_offset+n_rows) as a
-    dense row-quantized matrix (values (n_rows_pad, n_cols_pad) qe_dtype,
-    per-row fp32 scale, per-row fp32 TRUE sum after quantization).
-    n_rows_pad is pre-aligned to the contraction kernel's block size so
-    the multi-GB value buffer is never pad-copied downstream; padded rows
-    clamp to the last real row and are sliced away after the contraction.
+    """Pass C body for segment rows [start, start+n_out): query-expanded
+    rows as a dense row-quantized matrix (values (n_out, n_cols_pad)
+    qe_dtype, per-row fp32 scale, per-row fp32 TRUE sum after
+    quantization). Global population row = base + min(start+local,
+    seg_len-1): rows past the segment end clamp to the last real row
+    (duplicates, sliced/masked away by the caller). `start` may be traced.
 
     V_qe[i] = mean of the V rows of i's k2 nearest neighbors
     (reference: reranking.py:73-77; self included at rank 0). Built by
     scatter-adding k2 sparse rows; the sentinel column n lands in the
-    padding region (or an extra trailing column) and is zeroed."""
-    n = rank_k2.shape[0]
+    padding region (or an extra trailing column) and is zeroed. `n` is the
+    TRUE population (sidx/rank_k2 may carry padded junk rows past n)."""
     fmax = (1.0 if qe_dtype == jnp.float32
             else float(jnp.finfo(qe_dtype).max))
-    blocks = _row_blocks(n_rows_pad, row_block)
+    blocks = _row_blocks(n_out, row_block)
     b = blocks.shape[1]
     width = max(n_cols_pad, n + 1)
 
     def blk(rows):
-        safe = jnp.minimum(rows, n_rows - 1) + row_offset
+        safe = base + jnp.minimum(start + rows, seg_len - 1)
         nbrs = rank_k2[safe]  # (B, k2)
 
         def add_j(j, acc):
@@ -168,10 +185,31 @@ def _qe_rows_quantized(
 
     q, scale, qsum = lax.map(blk, blocks)
     return (
-        q.reshape(-1, n_cols_pad),
-        scale.reshape(-1),
-        qsum.reshape(-1)[:n_rows],
+        q.reshape(-1, n_cols_pad)[:n_out],
+        scale.reshape(-1)[:n_out],
+        qsum.reshape(-1)[:n_out],
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k2", "row_block", "n_rows", "n_rows_pad",
+                     "row_offset", "n_cols_pad", "qe_dtype"),
+)
+def _qe_rows_quantized(
+    sidx, sval, rank_k2, k2, row_block, n_rows, n_rows_pad, row_offset,
+    n_cols_pad, qe_dtype,
+):
+    """Pass C (single-device): rows [row_offset, row_offset+n_rows) padded
+    to n_rows_pad — pre-aligned to the contraction kernel's block size so
+    the multi-GB value buffer is never pad-copied downstream."""
+    q, scale, qsum = _qe_core(
+        sidx, sval, rank_k2, 0,
+        n=rank_k2.shape[0], k2=k2, row_block=row_block, n_out=n_rows_pad,
+        seg_len=n_rows, base=row_offset, n_cols_pad=n_cols_pad,
+        qe_dtype=qe_dtype,
+    )
+    return q, scale, qsum[:n_rows]
 
 
 @functools.partial(
@@ -252,6 +290,137 @@ def _streamed_core(
     return t, rowmax, a_sum, b_sum
 
 
+def _streamed_core_sharded(
+    qf,
+    gf,
+    mesh,
+    k1: int,
+    k2: int,
+    row_block: int,
+    block_a: int,
+    block_b: int,
+    block_c: int,
+    val_dtype,
+    qe_dtype,
+    use_pallas: bool | None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Multi-chip `_streamed_core`: the same exact-neighborhood pipeline
+    with every pass row-sharded over the mesh's "data" axis (SURVEY.md §5:
+    the gallery dimension is this workload's long-context analog — shard
+    it across chips, keep features in HBM).
+
+    Layout: passes A-C split their row ranges contiguously across devices
+    (device d owns rows [d*loc, (d+1)*loc)); the small artifacts (rank
+    lists, sparse V, the 1.2GB query-side V_qe) are re-replicated by the
+    next pass's in_specs, while the dominant gallery-side V_qe (7.8GB at
+    MSMT17) STAYS sharded: each device contracts the full query block
+    against only its gallery slice, so per-chip HBM for V_qe + t drops by
+    the device count and the min-sum FLOPs distribute linearly. Junk rows
+    from per-device padding sit past the true row counts and are sliced
+    away here or masked at the metric layer (padding clamps to the last
+    real row, and per-device ranges are contiguous, so real rows keep
+    their global order).
+
+    Returns the same (t, rowmax, a_sum, b_sum) contract as
+    `_streamed_core` (t column-sharded over "data"); per-row math is
+    identical to the single-device path, so results match exactly."""
+    from tpu_reid.parallel.mesh import shard_map_nocheck
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    num_q, num_g = int(qf.shape[0]), int(gf.shape[0])
+    n = num_q + num_g
+    k1 = min(k1, n - 1)
+    k2 = max(1, min(k2, n))
+    kh = min(int(np.around(k1 / 2)) + 1, n)
+    n_dev = mesh.shape["data"]
+
+    n_loc = _round_up(-(-n // n_dev), 8)
+    qa_loc = _round_up(-(-num_q // n_dev), 8)
+    gb_loc = _round_up(-(-num_g // n_dev), 8)
+    rb = min(row_block, n_loc)
+    rbq = min(row_block, qa_loc)
+    rbg = min(row_block, gb_loc)
+    n_cols_pad = _round_up(n, min(block_c, _round_up(n, 128)))
+
+    feat = jax.device_put(
+        jnp.concatenate([jnp.asarray(qf, jnp.float32),
+                         jnp.asarray(gf, jnp.float32)], axis=0),
+        NamedSharding(mesh, P()),
+    )
+
+    def smap(fn, in_specs, out_specs):
+        return jax.jit(shard_map_nocheck(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        ))
+
+    def ranks_local(feat):
+        start = lax.axis_index("data") * n_loc
+        return _global_ranks_core(
+            feat, start, n=n, k1p=k1 + 1, row_block=rb, n_out=n_loc
+        )
+
+    rowmax, rank_k1 = smap(
+        ranks_local, (P(),), (P("data"), P("data", None))
+    )(feat)
+
+    def sv_local(feat, rowmax, rank_k1):
+        start = lax.axis_index("data") * n_loc
+        return _sparse_v_core(
+            feat, rowmax, rank_k1, start,
+            n=n, kh=kh, row_block=rb, val_dtype=val_dtype, n_out=n_loc,
+        )
+
+    # rowmax/rank_k1 re-enter replicated (in_specs P()) — XLA inserts the
+    # all-gathers; both are tiny next to the V_qe buffers
+    sidx, sval = smap(
+        sv_local, (P(), P(), P()), (P("data", None), P("data", None))
+    )(feat, rowmax, rank_k1)
+
+    rank_k2 = rank_k1[:, :k2]
+
+    def qe_local(loc, seg_len, base, rb_seg):
+        def f(sidx, sval, rank_k2):
+            start = lax.axis_index("data") * loc
+            return _qe_core(
+                sidx, sval, rank_k2, start,
+                n=n, k2=k2, row_block=rb_seg, n_out=loc, seg_len=seg_len,
+                base=base, n_cols_pad=n_cols_pad, qe_dtype=qe_dtype,
+            )
+        return f
+
+    in3 = (P(), P(), P())
+    out3 = (P("data", None), P("data"), P("data"))
+    a8, a_scale, a_qsum = smap(
+        qe_local(qa_loc, num_q, 0, rbq), in3, out3
+    )(sidx, sval, rank_k2)
+    b8, b_scale, b_qsum = smap(
+        qe_local(gb_loc, num_g, num_q, rbg), in3, out3
+    )(sidx, sval, rank_k2)
+    del sidx, sval
+
+    def contract_local(a8, a_scale, b8, b_scale):
+        # a (query) side replicated, b (gallery) side local: each device
+        # produces the t columns of its own gallery slice
+        return minsum(
+            a8, a_scale, b8, b_scale, use_pallas=use_pallas,
+            block_a=block_a, block_b=block_b, block_c=block_c,
+        )
+
+    t = smap(
+        contract_local,
+        (P(), P(), P("data", None), P("data")),
+        P(None, "data"),
+    )(a8, a_scale, b8, b_scale)
+    del a8, b8
+    return t, rowmax[:n], a_qsum[:num_q], b_qsum[:num_g]
+
+
+def _core_dispatch(qf, gf, mesh, *args):
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        return _streamed_core_sharded(qf, gf, mesh, *args)
+    return _streamed_core(qf, gf, *args)
+
+
 def k_reciprocal_rerank_streamed(
     qf,
     gf,
@@ -265,9 +434,15 @@ def k_reciprocal_rerank_streamed(
     val_dtype=jnp.bfloat16,
     qe_dtype=jnp.float8_e4m3fn,
     use_pallas: bool | None = None,
+    mesh=None,
 ) -> jax.Array:
     """(Q, G) re-ranked distances with exact global k-reciprocal
     neighborhoods at populations far beyond the dense path's HBM limit.
+
+    With `mesh` (a jax.sharding.Mesh with a "data" axis of size > 1) every
+    pass shards its rows across devices and the gallery-side V_qe + t stay
+    sharded — same exact results, per-chip memory and min-sum FLOPs divided
+    by the device count (`_streamed_core_sharded`).
 
     Peak HBM at MSMT17 scale (n=93,820): ~13GB — quantized V_qe for
     queries (1.2GB) + gallery (7.8GB) + the fp32 output (4.1GB padded);
@@ -284,8 +459,8 @@ def k_reciprocal_rerank_streamed(
     qf = jnp.asarray(qf, jnp.float32)
     gf = jnp.asarray(gf, jnp.float32)
     num_q, num_g = int(qf.shape[0]), int(gf.shape[0])
-    t, rowmax, a_sum, b_sum = _streamed_core(
-        qf, gf, k1, k2, row_block, block_a, block_b, block_c,
+    t, rowmax, a_sum, b_sum = _core_dispatch(
+        qf, gf, mesh, k1, k2, row_block, block_a, block_b, block_c,
         val_dtype, qe_dtype, use_pallas,
     )
     return _blend(
@@ -323,6 +498,7 @@ def k_reciprocal_rerank_streamed_rows(
     k2: int = 15,
     lambda_value: float = 0.3,
     q_chunk: int = 1024,
+    mesh=None,
     **kw,
 ):
     """Row-provider variant: returns ``(row_fn, q_chunk)`` where
@@ -343,9 +519,13 @@ def k_reciprocal_rerank_streamed_rows(
     qf = jnp.asarray(qf, jnp.float32)
     gf = jnp.asarray(gf, jnp.float32)
     num_q, num_g = int(qf.shape[0]), int(gf.shape[0])
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        # match the sharded core's per-device query-row padding so the
+        # chunk walk never triggers the multi-GB pad-copy of t below
+        q_chunk = _round_up(-(-num_q // mesh.shape["data"]), 8)
     q_chunk = min(q_chunk, num_q)
-    t, rowmax, a_sum, b_sum = _streamed_core(
-        qf, gf, k1, k2,
+    t, rowmax, a_sum, b_sum = _core_dispatch(
+        qf, gf, mesh, k1, k2,
         kw.pop("row_block", 256), kw.pop("block_a", 1024),
         kw.pop("block_b", 1024), kw.pop("block_c", 2048),
         kw.pop("val_dtype", jnp.bfloat16),

@@ -42,6 +42,7 @@ from tpu_reid.models.clip_model import resize_pos_embed
 from tpu_reid.train import losses as L
 from tpu_reid.train import optim as O
 from tpu_reid.train import schedules as S
+from tpu_reid.train import trainer as TR
 from tpu_reid.train import xbm as X
 from tpu_reid.train.trainer import TrainConfig
 
@@ -368,6 +369,7 @@ def run_mt_stage1(
     steps = [
         make_mt_stage1_step(cfg, optimizer, t, mesh=mesh) for t in (0, 1)
     ]
+    place = TR._batch_placer(mesh)
     gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
     gpa = None
     for epoch in range(1, epochs + 1):
@@ -376,9 +378,11 @@ def run_mt_stage1(
         )
         losses = []
         for task, (images, labels, valid) in epoch_batches(epoch):
+            images, labels, valid = place(
+                (images, labels, jnp.asarray(np.asarray(valid)))
+            )
             trainable, opt_state, loss = steps[task](
-                trainable, frozen, opt_state, images, labels,
-                jnp.asarray(np.asarray(valid)),
+                trainable, frozen, opt_state, images, labels, valid,
             )
             losses.append(float(loss))
             if len(losses) % 50 == 1:
@@ -423,6 +427,7 @@ def run_mt_stage2(
     opt_state = optimizer.init(trainable)
     steps = [make_mt_stage2_step(cfg, tcfg, optimizer, t, mesh=mesh)
              for t in (0, 1)]
+    place = TR._batch_placer(mesh)
     dim = cfg.clip.embed_dim
     xbms = [X.init_xbm(xbm_capacity, dim), X.init_xbm(xbm_capacity, dim)]
 
@@ -435,10 +440,12 @@ def run_mt_stage2(
         use_xbm = jnp.asarray(epoch >= xbm_start_epoch)
         losses = []
         for task, (images, labels, valid) in epoch_batches(epoch):
+            images, labels, valid = place(
+                (images, labels, jnp.asarray(np.asarray(valid)))
+            )
             trainable, frozen, opt_state, xbms[task], loss = steps[task](
                 trainable, frozen, opt_state, images, labels,
-                text_features[task], xbms[task], use_xbm,
-                jnp.asarray(np.asarray(valid)),
+                text_features[task], xbms[task], use_xbm, valid,
             )
             losses.append(float(loss))
             if len(losses) % 50 == 1:

@@ -87,7 +87,7 @@ def sharded_encoder(cfg: M.ReidModelConfig, mesh, fn):
     shard_map is differentiable — the backward pass recomputes each block
     via the XLA path per device (models/layers._block_fused_bwd) and grads
     of replicated params are psum'd by the partitioner."""
-    from jax.experimental.shard_map import shard_map
+    from tpu_reid.parallel.mesh import shard_map_nocheck
     from jax.sharding import PartitionSpec as P
 
     from tpu_reid.models.layers import attention_impl
@@ -97,9 +97,8 @@ def sharded_encoder(cfg: M.ReidModelConfig, mesh, fn):
         with attention_impl(impl):
             return fn(params, cfg, images)
 
-    wrapped = shard_map(
+    wrapped = shard_map_nocheck(
         local, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
-        check_rep=False,
     )
     return lambda params, _cfg, images: wrapped(params, images)
 
@@ -121,6 +120,20 @@ def stage2_opt_state_template(params, cfg: M.ReidModelConfig,
     return O.make_stage_optimizer(
         tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
     ).init(trainable)
+
+
+def _batch_placer(mesh):
+    """Batch-arg placement for the mesh path: jit's in_shardings refuse
+    committed arrays whose sharding disagrees (a cached-feature slice or a
+    preprocessed batch lands replicated / on one device), so the run loops
+    device_put every batch leaf onto the "data" axis explicitly — a no-op
+    when already placed there."""
+    if mesh is None:
+        return lambda b: b
+    from tpu_reid.parallel.mesh import data_sharding
+
+    dat = data_sharding(mesh)
+    return lambda b: jax.device_put(b, dat)
 
 
 def _jit_step(step, mesh, n_state: int, n_batch: int):
@@ -240,6 +253,7 @@ def run_stage1(
     opt_state = (init_opt_state if init_opt_state is not None
                  else optimizer.init(trainable))
     step = make_stage1_step(cfg, optimizer, cached, mesh=mesh)
+    place = _batch_placer(mesh)
 
     if cached:
         feats, labels = precompute_image_features(
@@ -284,22 +298,22 @@ def run_stage1(
                     # prompt_learning.py:434-441) — masked out of the loss
                     valid[k:] = False
                     sel = np.concatenate([sel, np.zeros((bs - k,), sel.dtype)])
-                batch = {
+                batch = place({
                     "image_features": feats[sel],
                     "labels": labels[sel],
                     "valid": jnp.asarray(valid),
-                }
+                })
                 lf = guarded_step(gstep, batch)
                 gstep += 1
                 if lf is not None:
                     losses.append(lf)
         else:
             for images, lab, valid in epoch_batches(epoch):
-                batch = {
+                batch = place({
                     "images": images,
                     "labels": lab,
                     "valid": jnp.asarray(np.asarray(valid)),
-                }
+                })
                 lf = guarded_step(gstep, batch)
                 gstep += 1
                 if lf is not None:
@@ -427,6 +441,7 @@ def run_stage2(
     opt_state = (init_opt_state if init_opt_state is not None
                  else optimizer.init(trainable))
     step = make_stage2_step(cfg, tcfg, optimizer, mesh=mesh)
+    place = _batch_placer(mesh)
 
     gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
     gpa = init_gpa
@@ -438,9 +453,12 @@ def run_stage2(
         for images, labels, valid in epoch_batches(epoch):
             if guard is not None:
                 guard.maybe_snapshot(gstep, trainable, frozen, opt_state)
+            images, labels, valid = place(
+                (images, labels, jnp.asarray(np.asarray(valid)))
+            )
             trainable, frozen, opt_state, loss = step(
                 trainable, frozen, opt_state, images, labels, text_features,
-                jnp.asarray(np.asarray(valid)),
+                valid,
             )
             gstep += 1
             lf = float(loss)
