@@ -21,7 +21,34 @@ import time
 import numpy as np
 
 
+def _require_live_tunnel() -> None:
+    """Fail fast when the axon TPU tunnel is down: backend init would
+    otherwise block forever (the relay at 127.0.0.1:8082+ is host-managed
+    and cannot be restarted from this VM), eating the caller's timeout."""
+    import os
+    import socket
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    for port in (8082, 8083, 8087):
+        s = socket.socket()
+        s.settimeout(5)
+        try:
+            s.connect(("127.0.0.1", port))
+            return
+        except OSError:
+            continue
+        finally:
+            s.close()
+    raise SystemExit(
+        "bench: axon TPU tunnel is down (no relay listener on "
+        "127.0.0.1:8082+) — refusing to hang in backend init"
+    )
+
+
 def main() -> None:
+    _require_live_tunnel()
+
     import jax
     import jax.numpy as jnp
 
