@@ -294,3 +294,60 @@ def test_prompt_learning_cli_devices(assets, monkeypatch, tmp_path):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_zero_shot_cli_rn50(assets, monkeypatch, tmp_path):
+    """RN50 family end to end through the CLI: checkpoint shape inference
+    flips model_type to "rn" (ImageNet normalization + avg-pool embed,
+    reference zero_shot_learning.py:89-90), rectangular attnpool pos-embed
+    resize, retrieval tail."""
+    import torch
+
+    sd = oracle.make_rn50_state_dict(np.random.RandomState(3))
+    ckpt = str(tmp_path / "tiny_rn50.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+
+    from tpu_reid.cli import zero_shot as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["zero_shot",
+         "--root", assets["root"],
+         "--model_path", ckpt,
+         "--bpe_path", assets["merges"],
+         "--attributes", assets["attr"],
+         "--height", "64", "--ratio", "1.0", "--bs", "4",
+         "--test_dataset", "market1501"],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_cli_veri(assets, monkeypatch, tmp_path):
+    """Vehicle family e2e: VeRi parser (keypoint views + gb2312 type XML),
+    car-type-conditioned per-class prompts (VLPromptLearnerVeri geometry,
+    selected automatically for --train_dataset veri) through both training
+    stages and eval."""
+    from tpu_reid.tools.synth_market import write_images_veri
+
+    write_images_veri(
+        str(tmp_path / "VeRi"), np.random.RandomState(0),
+        n_train_ids=2, n_test_ids=2, n_query=4, n_gallery=8, hw=(64, 32),
+    )
+
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", str(tmp_path),
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--ratio", "1.0", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "ivlp",
+         "--train_dataset", "veri",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
