@@ -351,3 +351,37 @@ def test_prompt_learning_cli_veri(assets, monkeypatch, tmp_path):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_zero_shot_cli_tp(assets, monkeypatch, tmp_path):
+    """--devices 4 --tp 2: 2-D-parallel extraction — batch over 'data',
+    ViT attention heads + MLP hidden over 'model' (parallel/tp.py) — and
+    the result must match the plain single-device run exactly."""
+    import torch
+
+    # 2 heads so the tower splits over model=2 (width 128 -> heads 2)
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(5), vision_width=128, vision_layers=2,
+        patch=8, grid=4, text_width=128, text_layers=2, vocab=520,
+        context=77, embed_dim=32,
+    )
+    ckpt = str(tmp_path / "tiny_2h.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+
+    from tpu_reid.cli import zero_shot as cli
+
+    argv = [
+        "zero_shot",
+        "--root", assets["root"],
+        "--model_path", ckpt,
+        "--bpe_path", assets["merges"],
+        "--attributes", assets["attr"],
+        "--height", "32", "--stride", "8", "--bs", "8",
+        "--test_dataset", "market1501",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    cmc_plain, map_plain = cli.main()
+    monkeypatch.setattr(sys, "argv", argv + ["--devices", "4", "--tp", "2"])
+    cmc_tp, map_tp = cli.main()
+    np.testing.assert_allclose(cmc_tp, cmc_plain, atol=1e-5)
+    assert abs(map_tp - map_plain) < 1e-5

@@ -45,6 +45,9 @@ def params_parser():
     p.add_argument("--devices", default=1, type=int,
                    help="shard extraction + streamed rerank over a 'data' "
                         "mesh of this many devices")
+    p.add_argument("--tp", default=1, type=int,
+                   help="tensor-parallel width of the ViT tower over the "
+                        "'model' mesh axis (total devices = devices * tp)")
     p.add_argument("--no_flip_tta", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
     return p.parse_args()
@@ -104,33 +107,53 @@ def main():
         )
 
     mesh = None
-    if args.devices > 1:
+    if args.devices > 1 or args.tp > 1:
         from tpu_reid.parallel.mesh import make_mesh
 
         assert args.bs % args.devices == 0, \
             f"--bs {args.bs} must divide by --devices {args.devices}"
-        mesh = make_mesh(n_data=args.devices)
+        mesh = make_mesh(n_data=args.devices, n_model=args.tp)
 
     with log.phase("extract"):
         dataset = get_dataset(args.root, args.test_dataset)
         pp = DevicePreprocess((h, w), model_type, dtype=jnp.bfloat16)
-        extractor = make_extractor(
-            Z.make_zeroshot_embed(params, cfg), pp,
-            flip_tta=not args.no_flip_tta, dtype=jnp.bfloat16, mesh=mesh,
-        )
+        if args.tp > 1:
+            # 2-D parallel ViT sweep: batch over "data", tower width
+            # (attention heads + MLP hidden) over "model"
+            assert model_type == "vit", "--tp shards the ViT tower only"
+            from tpu_reid.parallel import tp as TP
+
+            xtr_params = TP.shard_tp_visual(
+                mesh,
+                TP.tp_visual_layout(params["visual"], cfg.vision.heads),
+            )
+            extractor = TP.make_tp_extractor(
+                mesh, cfg.vision, pp, flip_tta=not args.no_flip_tta,
+                dtype=jnp.bfloat16,
+            )
+            replicate_params = False
+        else:
+            xtr_params = params
+            extractor = make_extractor(
+                Z.make_zeroshot_embed(params, cfg), pp,
+                flip_tta=not args.no_flip_tta, dtype=jnp.bfloat16, mesh=mesh,
+            )
+            replicate_params = True
         g_feats, g_pids, g_cams, _ = extract_embeddings(
-            extractor, params,
+            extractor, xtr_params,
             BatchLoader(dataset.gallery, args.bs, (h, w)), mesh=mesh,
+            replicate_params=replicate_params,
         )
         q_feats, q_pids, q_cams, _ = extract_embeddings(
-            extractor, params,
+            extractor, xtr_params,
             BatchLoader(dataset.query, args.bs, (h, w)), mesh=mesh,
+            replicate_params=replicate_params,
         )
         log.log("extracted", gallery=len(g_pids), query=len(q_pids))
 
     # model weights are dead after extraction; at MSMT17 scale the
     # re-ranking evaluator needs every GB of HBM they pin
-    del extractor, params, sd
+    del extractor, params, xtr_params, sd
 
     with log.phase("evaluate"):
         cmc, mAP = Z.evaluate_zero_shot(

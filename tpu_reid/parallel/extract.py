@@ -77,6 +77,7 @@ def extract_embeddings(
     mesh: Optional[Mesh] = None,
     hang_timeout_s: float = 600.0,
     on_hang=None,
+    replicate_params: bool = True,
 ) -> Tuple[jax.Array, np.ndarray, np.ndarray, np.ndarray]:
     """Sweep a loader; returns (features_on_device, pids, camids, seqids).
 
@@ -92,7 +93,9 @@ def extract_embeddings(
     # commit params to device ONCE — numpy leaves passed to a jitted call
     # re-upload on EVERY invocation (catastrophic over slow links)
     params = jax.tree.map(jnp.asarray, params)
-    if mesh is not None:
+    if mesh is not None and replicate_params:
+        # replicate_params=False: the caller pre-placed params with its own
+        # shardings (tensor-parallel layouts, parallel/tp.py)
         from tpu_reid.parallel.mesh import replicated
 
         params = jax.device_put(params, replicated(mesh))
