@@ -385,3 +385,51 @@ def test_zero_shot_cli_tp(assets, monkeypatch, tmp_path):
     cmc_tp, map_tp = cli.main()
     np.testing.assert_allclose(cmc_tp, cmc_plain, atol=1e-5)
     assert abs(map_tp - map_plain) < 1e-5
+
+
+def test_zero_shot_cli_vehicleid_personx_msmt17v1(assets, monkeypatch, tmp_path):
+    """Remaining dataset families end to end through the zero-shot CLI:
+    VehicleID (seeded one-random-gallery-image-per-id protocol), PersonX
+    (three rendered-view subsets), MSMT17-V1 (glob-driven, query==gallery
+    per the reference's V1 class, dataset_msmt17.py:110-112)."""
+    from PIL import Image
+
+    from tpu_reid.tools.synth_market import (
+        write_images_personx, write_images_vehicleid,
+    )
+
+    rng = np.random.RandomState(0)
+    write_images_vehicleid(
+        str(tmp_path / "VehicleID_V1.0"), rng,
+        n_train_ids=2, n_test_ids=3, n_query=6, n_gallery=3, hw=(64, 32),
+    )
+    write_images_personx(
+        str(tmp_path / "PersonX_v1"), rng,
+        n_train_ids=2, n_test_ids=2, n_query=4, n_gallery=6, hw=(64, 32),
+    )
+    v1 = tmp_path / "MSMT17_V1"
+    for sub in ("bounding_box_train", "bounding_box_test"):
+        (v1 / sub).mkdir(parents=True)
+    for pid in (1, 2):
+        for k in range(3):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(v1 / "bounding_box_train" / f"{pid:04d}_c{1 + k}_{k:06d}.jpg")
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(v1 / "bounding_box_test" / f"{pid:04d}_c{1 + k}_{k:06d}.jpg")
+
+    from tpu_reid.cli import zero_shot as cli
+
+    for ds in ("vehicleid", "personx", "msmt17_v1"):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["zero_shot",
+             "--root", str(tmp_path),
+             "--model_path", assets["ckpt"],
+             "--bpe_path", assets["merges"],
+             "--height", "32", "--stride", "8", "--bs", "4",
+             "--test_dataset", ds],
+        )
+        cmc, mAP = cli.main()
+        assert 0.0 <= mAP <= 1.0, ds
