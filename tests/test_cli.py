@@ -296,33 +296,6 @@ def test_prompt_learning_cli_devices(assets, monkeypatch, tmp_path):
     assert 0.0 <= mAP <= 1.0
 
 
-def test_zero_shot_cli_rn50(assets, monkeypatch, tmp_path):
-    """RN50 family end to end through the CLI: checkpoint shape inference
-    flips model_type to "rn" (ImageNet normalization + avg-pool embed,
-    reference zero_shot_learning.py:89-90), rectangular attnpool pos-embed
-    resize, retrieval tail."""
-    import torch
-
-    sd = oracle.make_rn50_state_dict(np.random.RandomState(3))
-    ckpt = str(tmp_path / "tiny_rn50.pth")
-    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
-
-    from tpu_reid.cli import zero_shot as cli
-
-    monkeypatch.setattr(
-        sys, "argv",
-        ["zero_shot",
-         "--root", assets["root"],
-         "--model_path", ckpt,
-         "--bpe_path", assets["merges"],
-         "--attributes", assets["attr"],
-         "--height", "64", "--ratio", "1.0", "--bs", "4",
-         "--test_dataset", "market1501"],
-    )
-    cmc, mAP = cli.main()
-    assert 0.0 <= mAP <= 1.0
-
-
 def test_prompt_learning_cli_veri(assets, monkeypatch, tmp_path):
     """Vehicle family e2e: VeRi parser (keypoint views + gb2312 type XML),
     car-type-conditioned per-class prompts (VLPromptLearnerVeri geometry,

@@ -460,3 +460,57 @@ def test_mt_sharded_stage1_step_8dev():
     assert abs(float(loss_m) - float(loss_1)) < 1e-4
     for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_multitask_cli_resume(tmp_path, monkeypatch):
+    """--resume on the hard variant: the final stage-2 checkpoint (params +
+    optimizer state + GPA + XBM banks) restores and both stages are
+    skipped, reproducing the first run's result (the reference multitask
+    scripts can only save, ..._hard_sharing.py:676-681)."""
+    import torch
+    from PIL import Image
+
+    from tpu_reid.cli import multitask as cli
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+    for name in ("Market1501", "DukeMTMC-reID"):
+        base = root / name
+        for sub in ("bounding_box_train", "query", "bounding_box_test"):
+            (base / sub).mkdir(parents=True)
+        for pid, cam, n in [(1, 1, 4), (2, 2, 4)]:
+            for k in range(n):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg")
+        for pid in (1, 2):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
+            for k in range(2):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_test" / f"{pid:04d}_c{1 + k}s1_{k:06d}_00.jpg")
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    merges = str(root / "m.gz")
+    write_test_merges(merges, [("p", "h")])
+
+    argv = [
+        "multitask", "--root", str(root),
+        "--model_path", ckpt, "--bpe_path", merges,
+        "--variant", "hard", "--height", "32", "--stride", "8",
+        "--bs", "8", "--epochs_stage1", "1", "--epochs_stage2", "1",
+        "--save_path", str(root / "ck"),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    cmc1, mAP1 = cli.main()
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    cmc2, mAP2 = cli.main()
+    assert abs(mAP1 - mAP2) < 1e-5

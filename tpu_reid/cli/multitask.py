@@ -16,6 +16,7 @@ TPU-native equivalent of the three reference multitask entry points:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -51,6 +52,7 @@ def params_parser():
     p.add_argument("--train_dataset_multitask", default="dukemtmc", type=str)
     p.add_argument("--test_dataset", default=None, type=str)
     p.add_argument("--save_path", default="./checkpoints", type=str)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
@@ -153,6 +155,78 @@ def main():
             )
             yield put(imgs), put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid))
 
+    # checkpointing + resume, mirroring cli/prompt_learning (the reference
+    # multitask scripts save prompter/model state every 20 epochs,
+    # ..._hard_sharing.py:471-476,676-681, and reload the latest for the
+    # final test, :838). Markers: stage 0 = in stage 1, stage 1 + epoch -1
+    # = stage 1 done, stage 1 + epoch e = in stage 2, stage 2 = finished.
+    from tpu_reid.runtime.checkpoint import CheckpointManager
+    from tpu_reid.runtime.guard import TrainGuard
+
+    ckpt_dir = os.path.join(
+        args.save_path, args.variant, args.training_mode,
+        f"{args.train_dataset}_{args.train_dataset_multitask}",
+    )
+    mgr = CheckpointManager(ckpt_dir, save_interval=20)
+
+    def make_guard():
+        return TrainGuard(snapshot_every=50, max_restores=3,
+                          log=lambda s: log.log("guard", msg=s))
+
+    def stage_cb(stage, step_of):
+        def _cb(e, p, state):
+            if mgr.maybe_save(
+                step_of(e), {"params": p, "stage": stage, "epoch_in_stage": e}
+            ):
+                extras = {"opt_state": state["opt_state"]}
+                if state.get("gpa") is not None:
+                    extras["gpa"] = state["gpa"]
+                if state.get("xbms") is not None:
+                    extras["xbms"] = state["xbms"]
+                mgr.save_extras(step_of(e), extras)
+        return _cb
+
+    def setup_resume(params, s1_tmpl, s2_tmpl, gpa1_used, gpa2_used,
+                     xbm_tmpl=None):
+        """Returns (params, done_stage, stage1_kwargs, stage2_kwargs)."""
+        kw1 = {"start_epoch": 1, "init_opt_state": None, "init_gpa": None}
+        kw2 = {"start_epoch": 0, "init_opt_state": None, "init_gpa": None}
+        if xbm_tmpl is not None:
+            kw2["init_xbms"] = None
+        if not (args.resume and mgr.latest_epoch() is not None):
+            return params, 0, kw1, kw2
+        step = mgr.latest_epoch()
+        restored = mgr.restore(
+            step, template={"params": params, "stage": 0, "epoch_in_stage": 0}
+        )
+        params = restored["params"]
+        done = int(np.asarray(restored["stage"]))
+        e_in = int(np.asarray(restored["epoch_in_stage"]))
+        if done == 0 and e_in >= 0:
+            tmpl = {"opt_state": s1_tmpl(params)}
+            if gpa1_used:
+                tmpl["gpa"] = params
+            extras = mgr.restore_extras(step, tmpl)
+            if extras is not None:
+                kw1 = {"start_epoch": e_in + 1,
+                       "init_opt_state": extras["opt_state"],
+                       "init_gpa": extras.get("gpa")}
+        elif done == 1 and e_in >= 0:
+            tmpl = {"opt_state": s2_tmpl(params)}
+            if gpa2_used:
+                tmpl["gpa"] = params
+            if xbm_tmpl is not None:
+                tmpl["xbms"] = xbm_tmpl()
+            extras = mgr.restore_extras(step, tmpl)
+            if extras is not None:
+                kw2 = {"start_epoch": e_in + 1,
+                       "init_opt_state": extras["opt_state"],
+                       "init_gpa": extras.get("gpa")}
+                if xbm_tmpl is not None:
+                    kw2["init_xbms"] = extras.get("xbms")
+        log.log("resume", stage=done, epoch=step, epoch_in_stage=e_in)
+        return params, done, kw1, kw2
+
     if args.variant == "soft":
         # ONE model over n1+n2 merged classes; dataset-2 labels offset by n1
         # (reference: prompt_learning_multitask.py:500,643). Geometry follows
@@ -229,17 +303,38 @@ def main():
             for _task, b in MT.chain_tasks_longest(g1, g2):
                 yield b
 
-        with log.phase("stage1"):
-            params = TR.run_stage1(
-                params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
-                batch_size=args.bs, cached_order=cached_order, mesh=mesh,
-                log=lambda s: log.log("train", msg=s),
-            )
-        with log.phase("stage2"):
-            params = TR.run_stage2(
-                params, mcfg, tcfg, s2, epochs=args.epochs_stage2, mesh=mesh,
-                log=lambda s: log.log("train", msg=s),
-            )
+        params, done_stage, kw1, kw2 = setup_resume(
+            params,
+            lambda p: TR.stage1_opt_state_template(p, mcfg, tcfg),
+            lambda p: TR.stage2_opt_state_template(p, mcfg, tcfg),
+            gpa1_used=(mode == "promptsrc"),
+            gpa2_used=(mode == "promptsrc"),
+        )
+        if done_stage < 1:
+            with log.phase("stage1"):
+                params = TR.run_stage1(
+                    params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
+                    batch_size=args.bs, cached_order=cached_order, mesh=mesh,
+                    guard=make_guard(),
+                    checkpoint_cb=stage_cb(0, lambda e: e),
+                    log=lambda s: log.log("train", msg=s), **kw1,
+                )
+                mgr.save(args.epochs_stage1,
+                         {"params": params, "stage": 1, "epoch_in_stage": -1})
+        if done_stage < 2:
+            with log.phase("stage2"):
+                params = TR.run_stage2(
+                    params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
+                    mesh=mesh, guard=make_guard(),
+                    checkpoint_cb=stage_cb(
+                        1, lambda e: args.epochs_stage1 + e
+                    ),
+                    log=lambda s: log.log("train", msg=s), **kw2,
+                )
+                mgr.save(
+                    args.epochs_stage1 + args.epochs_stage2,
+                    {"params": params, "stage": 2, "epoch_in_stage": -1},
+                )
         embed = lambda p, im: M.eval_embed(p, mcfg, im)
     else:
         mk_prompt = (P.PromptLearnerConfig.ivlp if ivlp
@@ -292,17 +387,41 @@ def main():
             return pair(train_batches(ds1, pp1, args.bs, epoch, pk=True),
                         train_batches(ds2, pp2, args.bs, epoch, pk=True))
 
-        with log.phase("stage1"):
-            params = MT.run_mt_stage1(
-                params, mcfg, tcfg, s1, epochs=args.epochs_stage1, mesh=mesh,
-                log=lambda s: log.log("train", msg=s),
-            )
-        with log.phase("stage2"):
-            params = MT.run_mt_stage2(
-                params, mcfg, tcfg, s2, epochs=args.epochs_stage2, mesh=mesh,
-                xbm_capacity=2 * args.bs,
-                log=lambda s: log.log("train", msg=s),
-            )
+        params, done_stage, kw1, kw2 = setup_resume(
+            params,
+            lambda p: MT.mt_stage1_opt_state_template(p, mcfg, tcfg),
+            lambda p: MT.mt_stage2_opt_state_template(p, mcfg, tcfg),
+            gpa1_used=(args.variant == "hard_ivlp"),
+            gpa2_used=True,  # mt stage 2 GPA is unconditional
+            xbm_tmpl=lambda: [
+                MT.X.init_xbm(2 * args.bs, mcfg.clip.embed_dim),
+                MT.X.init_xbm(2 * args.bs, mcfg.clip.embed_dim),
+            ],
+        )
+        if done_stage < 1:
+            with log.phase("stage1"):
+                params = MT.run_mt_stage1(
+                    params, mcfg, tcfg, s1, epochs=args.epochs_stage1,
+                    mesh=mesh, guard=make_guard(),
+                    checkpoint_cb=stage_cb(0, lambda e: e),
+                    log=lambda s: log.log("train", msg=s), **kw1,
+                )
+                mgr.save(args.epochs_stage1,
+                         {"params": params, "stage": 1, "epoch_in_stage": -1})
+        if done_stage < 2:
+            with log.phase("stage2"):
+                params = MT.run_mt_stage2(
+                    params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
+                    mesh=mesh, xbm_capacity=2 * args.bs, guard=make_guard(),
+                    checkpoint_cb=stage_cb(
+                        1, lambda e: args.epochs_stage1 + e
+                    ),
+                    log=lambda s: log.log("train", msg=s), **kw2,
+                )
+                mgr.save(
+                    args.epochs_stage1 + args.epochs_stage2,
+                    {"params": params, "stage": 2, "epoch_in_stage": -1},
+                )
         task = 0 if args.test_dataset == args.train_dataset else 1
         embed = lambda p, im: MT.eval_embed_mt(p, mcfg, task, im)
 

@@ -351,6 +351,24 @@ def chain_tasks_longest(
 # ---------------------------------------------------------------------------
 
 
+def mt_stage1_opt_state_template(params, cfg: MultitaskModelConfig,
+                                 tcfg: TrainConfig):
+    """Fresh optimizer state with run_mt_stage1's exact pytree structure
+    (optax states are namedtuples — checkpoint restore needs a template)."""
+    trainable, _ = O.partition(params, lambda p: mt_stage1_trainable(p, cfg))
+    return O.make_stage_optimizer(
+        tcfg.lr_stage1, tcfg.weight_decay
+    ).init(trainable)
+
+
+def mt_stage2_opt_state_template(params, cfg: MultitaskModelConfig,
+                                 tcfg: TrainConfig):
+    trainable, _ = O.partition(params, lambda p: mt_stage2_trainable(p, cfg))
+    return O.make_stage_optimizer(
+        tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
+    ).init(trainable)
+
+
 def run_mt_stage1(
     params: dict,
     cfg: MultitaskModelConfig,
@@ -359,20 +377,31 @@ def run_mt_stage1(
     epochs: int,
     log: Callable[[str], None] = print,
     mesh=None,
+    checkpoint_cb=None,
+    guard=None,
+    start_epoch: int = 1,
+    init_opt_state=None,
+    init_gpa=None,
 ) -> dict:
+    """checkpoint_cb(epoch, params, {"opt_state", "gpa"}) fires after every
+    epoch — the reference's multitask scripts save prompter state every 20
+    epochs (..._hard_sharing.py:471-476). start_epoch/init_* resume
+    mid-stage with the exact trajectory, as in trainer.run_stage1."""
     params = jax.tree.map(jnp.asarray, params)  # commit to device once
     trainable, frozen = O.partition(
         params, lambda p: mt_stage1_trainable(p, cfg)
     )
     optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
-    opt_state = optimizer.init(trainable)
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(trainable))
     steps = [
         make_mt_stage1_step(cfg, optimizer, t, mesh=mesh) for t in (0, 1)
     ]
     place = TR._batch_placer(mesh)
     gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
-    gpa = None
-    for epoch in range(1, epochs + 1):
+    gpa = init_gpa
+    gstep = 0
+    for epoch in range(start_epoch, epochs + 1):
         opt_state = O.set_lr(
             opt_state, S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
         )
@@ -381,10 +410,20 @@ def run_mt_stage1(
             images, labels, valid = place(
                 (images, labels, jnp.asarray(np.asarray(valid)))
             )
+            if guard is not None:
+                guard.maybe_snapshot(gstep, trainable, opt_state)
             trainable, opt_state, loss = steps[task](
                 trainable, frozen, opt_state, images, labels, valid,
             )
-            losses.append(float(loss))
+            gstep += 1
+            lf = float(loss)
+            if guard is not None:
+                (trainable, opt_state), ok = guard.check(
+                    lf, trainable, opt_state
+                )
+                if not ok:
+                    continue
+            losses.append(lf)
             if len(losses) % 50 == 1:
                 log(f"[mt-stage1] epoch {epoch} step {len(losses)} "
                     f"loss {losses[-1]:.4f}")
@@ -396,6 +435,9 @@ def run_mt_stage1(
             gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch - 1])
         if losses:
             log(f"[mt-stage1] epoch {epoch}/{epochs} loss {np.mean(losses):.4f}")
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, O.combine(trainable, frozen),
+                          {"opt_state": opt_state, "gpa": gpa})
     out = O.combine(trainable, frozen)
     if gpa is not None:
         out = gpa
@@ -412,7 +454,17 @@ def run_mt_stage2(
     xbm_start_epoch: int = 10,
     log: Callable[[str], None] = print,
     mesh=None,
+    checkpoint_cb=None,
+    guard=None,
+    start_epoch: int = 0,
+    init_opt_state=None,
+    init_gpa=None,
+    init_xbms=None,
 ) -> dict:
+    """checkpoint_cb(epoch, params, {"opt_state", "gpa", "xbms"}) fires
+    after every epoch (reference: ..._hard_sharing.py:676-681 saves the
+    full model every 20 epochs). init_xbms restores the cross-batch memory
+    banks so a resumed run mines against the same negatives."""
     params = jax.tree.map(jnp.asarray, params)  # commit to device once
     text_features = [
         jax.lax.stop_gradient(all_class_text_features_mt(params, cfg, t))
@@ -424,16 +476,19 @@ def run_mt_stage2(
     optimizer = O.make_stage_optimizer(
         tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
     )
-    opt_state = optimizer.init(trainable)
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(trainable))
     steps = [make_mt_stage2_step(cfg, tcfg, optimizer, t, mesh=mesh)
              for t in (0, 1)]
     place = TR._batch_placer(mesh)
     dim = cfg.clip.embed_dim
-    xbms = [X.init_xbm(xbm_capacity, dim), X.init_xbm(xbm_capacity, dim)]
+    xbms = (list(init_xbms) if init_xbms is not None
+            else [X.init_xbm(xbm_capacity, dim), X.init_xbm(xbm_capacity, dim)])
 
     gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
-    gpa = None
-    for epoch in range(epochs):
+    gpa = init_gpa
+    gstep = 0
+    for epoch in range(start_epoch, epochs):
         opt_state = O.set_lr(
             opt_state, S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
         )
@@ -443,17 +498,33 @@ def run_mt_stage2(
             images, labels, valid = place(
                 (images, labels, jnp.asarray(np.asarray(valid)))
             )
+            if guard is not None:
+                guard.maybe_snapshot(
+                    gstep, trainable, frozen, opt_state, xbms[0], xbms[1]
+                )
             trainable, frozen, opt_state, xbms[task], loss = steps[task](
                 trainable, frozen, opt_state, images, labels,
                 text_features[task], xbms[task], use_xbm, valid,
             )
-            losses.append(float(loss))
+            gstep += 1
+            lf = float(loss)
+            if guard is not None:
+                state, ok = guard.check(
+                    lf, trainable, frozen, opt_state, xbms[0], xbms[1]
+                )
+                trainable, frozen, opt_state, xbms[0], xbms[1] = state
+                if not ok:
+                    continue
+            losses.append(lf)
             if len(losses) % 50 == 1:
                 log(f"[mt-stage2] epoch {epoch + 1} step {len(losses)} "
                     f"loss {losses[-1]:.4f}")
         gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
         if losses:
             log(f"[mt-stage2] epoch {epoch + 1}/{epochs} loss {np.mean(losses):.4f}")
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, O.combine(trainable, frozen),
+                          {"opt_state": opt_state, "gpa": gpa, "xbms": xbms})
     out = O.combine(trainable, frozen)
     if gpa is not None:
         out = gpa
