@@ -28,7 +28,15 @@ def _require_live_tunnel() -> None:
     import os
     import socket
 
-    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+    # key on plugin PRESENCE, not JAX_PLATFORMS: the plugin's backend
+    # registration hook blocks even under JAX_PLATFORMS=cpu
+    plugin_on_path = any(
+        os.path.basename(p.rstrip("/")) == ".axon_site"
+        for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    if not plugin_on_path and "axon" not in os.environ.get(
+        "JAX_PLATFORMS", ""
+    ):
         return
     for port in (8082, 8083, 8087):
         s = socket.socket()

@@ -514,3 +514,89 @@ def test_multitask_cli_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", argv + ["--resume"])
     cmc2, mAP2 = cli.main()
     assert abs(mAP1 - mAP2) < 1e-5
+
+
+def test_mt_stage2_mid_resume_equals_straight_run():
+    """Multitask exact resume: 2 epochs + (restore opt/GPA/XBM banks, 2
+    more) must equal 4 straight epochs EXACTLY — including the XBM memory
+    (xbm_start_epoch=0 so the banks shape every step's loss)."""
+    mcfg, params = build_mt("hard")
+    tcfg = TrainConfig()
+    eps = {
+        e: [(0, b0), (1, b1)]
+        for e, (b0, b1) in enumerate(
+            zip(
+                [batches((32, 16), 5, n=1, bs=8, seed=300 + e)[0]
+                 for e in range(4)],
+                [batches((32, 16), 4, n=1, bs=8, seed=400 + e)[0]
+                 for e in range(4)],
+            )
+        )
+    }
+    epoch_fn = lambda e: iter(eps[e])
+
+    kw = dict(xbm_capacity=16, xbm_start_epoch=0, log=lambda s: None)
+    want = MT.run_mt_stage2(params, mcfg, tcfg, epoch_fn, epochs=4, **kw)
+
+    saved = {}
+
+    class Interrupt(Exception):
+        pass
+
+    def cb(e, p, state):
+        if e == 1:
+            # deep-copy the XBM banks: the trainer rebinds list entries but
+            # a later epoch of the interrupted run must not alias them
+            saved.update(params=p, opt=state["opt_state"],
+                         gpa=state["gpa"],
+                         xbms=[jax.tree.map(jnp.array, x)
+                               for x in state["xbms"]])
+            raise Interrupt  # simulate a crash mid-run (same total epochs:
+            # the GPA gaussian normalizes over the PLANNED epoch count)
+
+    with pytest.raises(Interrupt):
+        MT.run_mt_stage2(params, mcfg, tcfg, epoch_fn, epochs=4,
+                         checkpoint_cb=cb, **kw)
+    got = MT.run_mt_stage2(
+        saved["params"], mcfg, tcfg, epoch_fn, epochs=4, start_epoch=2,
+        init_opt_state=saved["opt"], init_gpa=saved["gpa"],
+        init_xbms=saved["xbms"], **kw,
+    )
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_mt_stage1_mid_resume_equals_straight_run():
+    """Same property for multitask stage 1 on the hard_ivlp variant, whose
+    GPA accumulator must also carry across the resume."""
+    mcfg, params = build_mt("hard_ivlp")
+    tcfg = TrainConfig()
+    eps = {
+        e: [(0, batches((32, 16), 5, n=1, bs=8, seed=500 + e)[0]),
+            (1, batches((32, 16), 4, n=1, bs=8, seed=600 + e)[0])]
+        for e in range(1, 5)
+    }
+    epoch_fn = lambda e: iter(eps[e])
+
+    want = MT.run_mt_stage1(params, mcfg, tcfg, epoch_fn, epochs=4,
+                            log=lambda s: None)
+    saved = {}
+
+    class Interrupt(Exception):
+        pass
+
+    def cb(e, p, state):
+        if e == 2:
+            saved.update(params=p, opt=state["opt_state"], gpa=state["gpa"])
+            raise Interrupt
+
+    with pytest.raises(Interrupt):
+        MT.run_mt_stage1(params, mcfg, tcfg, epoch_fn, epochs=4,
+                         log=lambda s: None, checkpoint_cb=cb)
+    got = MT.run_mt_stage1(
+        saved["params"], mcfg, tcfg, epoch_fn, epochs=4, start_epoch=3,
+        init_opt_state=saved["opt"], init_gpa=saved["gpa"],
+        log=lambda s: None,
+    )
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

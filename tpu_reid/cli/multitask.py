@@ -127,14 +127,12 @@ def main():
         clip_params["text"].setdefault("vpt_deep", tinit["vpt_deep"])
 
     mesh = None
-    put = lambda t: t  # noqa: E731
     if args.devices > 1:
-        from tpu_reid.parallel.mesh import make_mesh, shard_batch
+        from tpu_reid.parallel.mesh import make_mesh
 
         assert args.bs % args.devices == 0, \
             f"--bs {args.bs} must divide by --devices {args.devices}"
         mesh = make_mesh(n_data=args.devices)
-        put = lambda t: shard_batch(mesh, t)  # noqa: E731
 
     def train_batches(dataset, pp, bs, epoch, pk=False, pad_hw=(10, 10)):
         if pk:
@@ -153,14 +151,16 @@ def main():
             imgs = pp.train_batch(
                 jnp.asarray(b.images), jax.random.fold_in(k, i), pad_hw=pad_hw
             )
-            yield put(imgs), put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid))
+            # the trainers place every batch leaf onto the mesh themselves
+            yield imgs, jnp.asarray(b.pids), b.valid
 
-    # checkpointing + resume, mirroring cli/prompt_learning (the reference
-    # multitask scripts save prompter/model state every 20 epochs,
-    # ..._hard_sharing.py:471-476,676-681, and reload the latest for the
-    # final test, :838). Markers: stage 0 = in stage 1, stage 1 + epoch -1
-    # = stage 1 done, stage 1 + epoch e = in stage 2, stage 2 = finished.
-    from tpu_reid.runtime.checkpoint import CheckpointManager
+    # checkpointing + resume, shared with cli/prompt_learning (the
+    # reference multitask scripts save prompter/model state every 20
+    # epochs, ..._hard_sharing.py:471-476,676-681, and reload the latest
+    # for the final test, :838)
+    from tpu_reid.runtime.checkpoint import (
+        CheckpointManager, two_stage_cb, two_stage_resume,
+    )
     from tpu_reid.runtime.guard import TrainGuard
 
     ckpt_dir = os.path.join(
@@ -173,59 +173,23 @@ def main():
         return TrainGuard(snapshot_every=50, max_restores=3,
                           log=lambda s: log.log("guard", msg=s))
 
-    def stage_cb(stage, step_of):
-        def _cb(e, p, state):
-            if mgr.maybe_save(
-                step_of(e), {"params": p, "stage": stage, "epoch_in_stage": e}
-            ):
-                extras = {"opt_state": state["opt_state"]}
-                if state.get("gpa") is not None:
-                    extras["gpa"] = state["gpa"]
-                if state.get("xbms") is not None:
-                    extras["xbms"] = state["xbms"]
-                mgr.save_extras(step_of(e), extras)
-        return _cb
+    stage_cb = lambda stage, step_of: two_stage_cb(mgr, stage, step_of)  # noqa: E731
 
     def setup_resume(params, s1_tmpl, s2_tmpl, gpa1_used, gpa2_used,
                      xbm_tmpl=None):
-        """Returns (params, done_stage, stage1_kwargs, stage2_kwargs)."""
-        kw1 = {"start_epoch": 1, "init_opt_state": None, "init_gpa": None}
-        kw2 = {"start_epoch": 0, "init_opt_state": None, "init_gpa": None}
-        if xbm_tmpl is not None:
-            kw2["init_xbms"] = None
-        if not (args.resume and mgr.latest_epoch() is not None):
-            return params, 0, kw1, kw2
-        step = mgr.latest_epoch()
-        restored = mgr.restore(
-            step, template={"params": params, "stage": 0, "epoch_in_stage": 0}
-        )
-        params = restored["params"]
-        done = int(np.asarray(restored["stage"]))
-        e_in = int(np.asarray(restored["epoch_in_stage"]))
-        if done == 0 and e_in >= 0:
-            tmpl = {"opt_state": s1_tmpl(params)}
-            if gpa1_used:
-                tmpl["gpa"] = params
-            extras = mgr.restore_extras(step, tmpl)
-            if extras is not None:
-                kw1 = {"start_epoch": e_in + 1,
-                       "init_opt_state": extras["opt_state"],
-                       "init_gpa": extras.get("gpa")}
-        elif done == 1 and e_in >= 0:
-            tmpl = {"opt_state": s2_tmpl(params)}
-            if gpa2_used:
-                tmpl["gpa"] = params
+        if not args.resume:
+            kw1 = {"start_epoch": 1, "init_opt_state": None, "init_gpa": None}
+            kw2 = {"start_epoch": 0, "init_opt_state": None, "init_gpa": None}
             if xbm_tmpl is not None:
-                tmpl["xbms"] = xbm_tmpl()
-            extras = mgr.restore_extras(step, tmpl)
-            if extras is not None:
-                kw2 = {"start_epoch": e_in + 1,
-                       "init_opt_state": extras["opt_state"],
-                       "init_gpa": extras.get("gpa")}
-                if xbm_tmpl is not None:
-                    kw2["init_xbms"] = extras.get("xbms")
-        log.log("resume", stage=done, epoch=step, epoch_in_stage=e_in)
-        return params, done, kw1, kw2
+                kw2["init_xbms"] = None
+            return params, 0, kw1, kw2
+        out = two_stage_resume(
+            mgr, params, s1_tmpl, s2_tmpl, gpa1_used, gpa2_used,
+            xbm_template=xbm_tmpl,
+            log=lambda s: log.log("resume", msg=s),
+        )
+        log.log("resume", stage=out[1], epoch=mgr.latest_epoch())
+        return out
 
     if args.variant == "soft":
         # ONE model over n1+n2 merged classes; dataset-2 labels offset by n1
@@ -263,9 +227,8 @@ def main():
             loader = BatchLoader(records, args.bs, (h1, w1), order=order,
                                  seed=args.seed + 7919 * epoch)
             for b in loader:
-                yield (put(pp1.eval_batch(jnp.asarray(b.images))),
-                       put(jnp.asarray(b.pids) + offset),
-                       put(jnp.asarray(b.valid)))
+                yield (pp1.eval_batch(jnp.asarray(b.images)),
+                       jnp.asarray(b.pids) + offset, b.valid)
 
         def s1(epoch):
             gens = (eval_batches(ds1.train, 0, epoch),
@@ -367,8 +330,8 @@ def main():
                 seed=args.seed + 7919 * epoch,
             )
             for b in loader:
-                yield (put(pp.eval_batch(jnp.asarray(b.images))),
-                       put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid)))
+                yield (pp.eval_batch(jnp.asarray(b.images)),
+                       jnp.asarray(b.pids), b.valid)
 
         def s1(epoch):
             # plain hard drains both loaders (`or`); ivlp stops at the

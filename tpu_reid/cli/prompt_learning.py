@@ -223,14 +223,12 @@ def main():
     key = jax.random.key(args.seed)
 
     mesh = None
-    put = lambda t: t  # noqa: E731
     if args.devices > 1:
-        from tpu_reid.parallel.mesh import make_mesh, shard_batch
+        from tpu_reid.parallel.mesh import make_mesh
 
         assert args.bs % args.devices == 0, \
             f"--bs {args.bs} must divide by --devices {args.devices}"
         mesh = make_mesh(n_data=args.devices)
-        put = lambda t: shard_batch(mesh, t)  # noqa: E731
 
     def stage1_batches(epoch):
         # stage 1 always consumes the VAL-transform loader — deterministic
@@ -243,8 +241,8 @@ def main():
             seed=args.seed + epoch, drop_tail=epoch > 0,
         )
         for b in loader:
-            yield (put(pp.eval_batch(jnp.asarray(b.images))),
-                   put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid)))
+            # the trainers place every batch leaf onto the mesh themselves
+            yield pp.eval_batch(jnp.asarray(b.images)), jnp.asarray(b.pids), b.valid
 
     def stage2_batches(epoch):
         labels = [r[1] for r in dataset.train]
@@ -258,7 +256,7 @@ def main():
                 jnp.asarray(b.images), jax.random.fold_in(k, i),
                 pad_hw=(10, 10),
             )
-            yield put(imgs), put(jnp.asarray(b.pids)), put(jnp.asarray(b.valid))
+            yield imgs, jnp.asarray(b.pids), b.valid
 
     tcfg = TR.TrainConfig(
         epochs_stage1=args.epochs_stage1, epochs_stage2=args.epochs_stage2
@@ -271,42 +269,22 @@ def main():
     # --resume: restore the newest checkpoint and continue EXACTLY where
     # the run stopped — params, optimizer state and (promptsrc) the GPA
     # accumulator, mid-stage (the reference has no resume at all,
-    # SURVEY.md §5). Markers: stage 0 = in stage 1, stage 1 + epoch -1 =
-    # stage 1 done, stage 1 + epoch e = in stage 2, stage 2 = finished.
+    # SURVEY.md §5). Shared orchestration: runtime.checkpoint.
+    from tpu_reid.runtime.checkpoint import two_stage_cb, two_stage_resume
+
+    kw1 = {"start_epoch": 1, "init_opt_state": None, "init_gpa": None}
+    kw2 = {"start_epoch": 0, "init_opt_state": None, "init_gpa": None}
     done_stage = 0
-    start1, start2 = 1, 0
-    opt1 = opt2 = gpa1 = gpa2 = None
-    if args.resume and mgr.latest_epoch() is not None:
-        step = mgr.latest_epoch()
-        restored = mgr.restore(
-            step,
-            template={"params": params, "stage": 0, "epoch_in_stage": 0},
+    if args.resume:
+        params, done_stage, kw1, kw2 = two_stage_resume(
+            mgr, params,
+            lambda p: TR.stage1_opt_state_template(p, mcfg, tcfg),
+            lambda p: TR.stage2_opt_state_template(p, mcfg, tcfg),
+            gpa1_used=(args.training_mode == "promptsrc"),
+            gpa2_used=(args.training_mode == "promptsrc"),
+            log=lambda s: log.log("resume", msg=s),
         )
-        params = restored["params"]
-        done_stage = int(np.asarray(restored["stage"]))
-        e_in = int(np.asarray(restored["epoch_in_stage"]))
-        if done_stage == 0 and e_in >= 0:
-            tmpl = {"opt_state": TR.stage1_opt_state_template(
-                params, mcfg, tcfg)}
-            if args.training_mode == "promptsrc":
-                tmpl["gpa"] = params
-            extras = mgr.restore_extras(step, tmpl)
-            if extras is not None:
-                opt1 = extras["opt_state"]
-                gpa1 = extras.get("gpa")
-                start1 = e_in + 1
-        elif done_stage == 1 and e_in >= 0:
-            tmpl = {"opt_state": TR.stage2_opt_state_template(
-                params, mcfg, tcfg)}
-            if args.training_mode == "promptsrc":
-                tmpl["gpa"] = params
-            extras = mgr.restore_extras(step, tmpl)
-            if extras is not None:
-                opt2 = extras["opt_state"]
-                gpa2 = extras.get("gpa")
-                start2 = e_in + 1
-        log.log("resume", stage=done_stage, epoch=step,
-                epoch_in_stage=e_in)
+        log.log("resume", stage=done_stage, epoch=mgr.latest_epoch())
 
     from tpu_reid.runtime.guard import TrainGuard
 
@@ -318,17 +296,7 @@ def main():
             log=lambda s: log.log("guard", msg=s),
         )
 
-    def cb(stage, step_of):
-        def _cb(e, p, state):
-            if mgr.maybe_save(
-                step_of(e),
-                {"params": p, "stage": stage, "epoch_in_stage": e},
-            ):
-                extras = {"opt_state": state["opt_state"]}
-                if state["gpa"] is not None:
-                    extras["gpa"] = state["gpa"]
-                mgr.save_extras(step_of(e), extras)
-        return _cb
+    cb = lambda stage, step_of: two_stage_cb(mgr, stage, step_of)  # noqa: E731
 
     if done_stage < 1:
         with log.phase("stage1"):
@@ -336,8 +304,7 @@ def main():
                 params, mcfg, tcfg, stage1_batches, epochs=args.epochs_stage1,
                 batch_size=args.bs, mesh=mesh, guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
-                checkpoint_cb=cb(0, lambda e: e),
-                start_epoch=start1, init_opt_state=opt1, init_gpa=gpa1,
+                checkpoint_cb=cb(0, lambda e: e), **kw1,
             )
             mgr.save(args.epochs_stage1,
                      {"params": params, "stage": 1, "epoch_in_stage": -1})
@@ -348,8 +315,7 @@ def main():
                 params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
                 mesh=mesh, guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
-                checkpoint_cb=cb(1, lambda e: args.epochs_stage1 + e),
-                start_epoch=start2, init_opt_state=opt2, init_gpa=gpa2,
+                checkpoint_cb=cb(1, lambda e: args.epochs_stage1 + e), **kw2,
             )
             mgr.save(
                 args.epochs_stage1 + args.epochs_stage2,

@@ -104,3 +104,110 @@ class CheckpointManager:
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()
+
+
+# ---------------------------------------------------------------------------
+# two-stage training orchestration (shared by the prompt_learning and
+# multitask CLIs)
+# ---------------------------------------------------------------------------
+#
+# Stage markers stored with the params: stage 0 = in stage 1, stage 1 +
+# epoch_in_stage -1 = stage 1 done, stage 1 + epoch e = in stage 2,
+# stage 2 = finished. Companion extras carry the optimizer state and,
+# when used, the GPA accumulator and the XBM banks.
+
+
+def two_stage_cb(mgr: CheckpointManager, stage: int, step_of):
+    """checkpoint_cb for run_stage{1,2} / run_mt_stage{1,2}: periodic param
+    saves (reference cadence) with optimizer/GPA/XBM companions. step_of
+    maps the in-stage epoch to the manager's global step."""
+
+    def _cb(e, p, state):
+        if mgr.maybe_save(
+            step_of(e), {"params": p, "stage": stage, "epoch_in_stage": e}
+        ):
+            extras = {"opt_state": state["opt_state"]}
+            if state.get("gpa") is not None:
+                extras["gpa"] = state["gpa"]
+            if state.get("xbms") is not None:
+                extras["xbms"] = state["xbms"]
+            mgr.save_extras(step_of(e), extras)
+
+    return _cb
+
+
+def two_stage_resume(
+    mgr: CheckpointManager,
+    params,
+    s1_opt_template,
+    s2_opt_template,
+    gpa1_used: bool,
+    gpa2_used: bool,
+    xbm_template=None,
+    log=print,
+):
+    """Restore the newest two-stage checkpoint.
+
+    Returns (params, done_stage, stage1_kwargs, stage2_kwargs) where the
+    kwargs feed run_stage{1,2} / run_mt_stage{1,2}'s start_epoch /
+    init_opt_state / init_gpa (/ init_xbms when xbm_template is given).
+    s{1,2}_opt_template(params) build fresh optimizer states matching the
+    trainers' pytree structure; the gpa*_used flags must mirror whether
+    the corresponding stage actually accumulates a GPA (the extras
+    template must match what two_stage_cb saved).
+
+    A resumed run must use the SAME total epoch counts as the interrupted
+    one: the GPA gaussian weights normalize over the planned epoch count
+    (optim.gauss_weights), so changing --epochs_stage* across a resume
+    silently re-weights the accumulated average."""
+    kw1 = {"start_epoch": 1, "init_opt_state": None, "init_gpa": None}
+    kw2 = {"start_epoch": 0, "init_opt_state": None, "init_gpa": None}
+    if xbm_template is not None:
+        kw2["init_xbms"] = None
+    if mgr.latest_epoch() is None:
+        return params, 0, kw1, kw2
+    step = mgr.latest_epoch()
+    restored = mgr.restore(
+        step, template={"params": params, "stage": 0, "epoch_in_stage": 0}
+    )
+    import numpy as _np
+
+    params = restored["params"]
+    done = int(_np.asarray(restored["stage"]))
+    e_in = int(_np.asarray(restored["epoch_in_stage"]))
+
+    def _warn_missing(stage_no):
+        log(
+            f"[resume] WARNING: checkpoint step {step} has no extras "
+            f"companion (crash between param save and extras save?); "
+            f"restarting stage {stage_no} from epoch 1 on the restored "
+            f"params — the trajectory will differ from an uninterrupted run"
+        )
+
+    if done == 0 and e_in >= 0:
+        tmpl = {"opt_state": s1_opt_template(params)}
+        if gpa1_used:
+            tmpl["gpa"] = params
+        extras = mgr.restore_extras(step, tmpl)
+        if extras is None:
+            _warn_missing(1)
+        else:
+            kw1 = {"start_epoch": e_in + 1,
+                   "init_opt_state": extras["opt_state"],
+                   "init_gpa": extras.get("gpa")}
+    elif done == 1 and e_in >= 0:
+        tmpl = {"opt_state": s2_opt_template(params)}
+        if gpa2_used:
+            tmpl["gpa"] = params
+        if xbm_template is not None:
+            tmpl["xbms"] = xbm_template()
+        extras = mgr.restore_extras(step, tmpl)
+        if extras is None:
+            _warn_missing(2)
+        else:
+            kw2 = {"start_epoch": e_in + 1,
+                   "init_opt_state": extras["opt_state"],
+                   "init_gpa": extras.get("gpa")}
+            if xbm_template is not None:
+                kw2["init_xbms"] = extras.get("xbms")
+    return params, done, kw1, kw2

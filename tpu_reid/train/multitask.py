@@ -408,7 +408,7 @@ def run_mt_stage1(
         losses = []
         for task, (images, labels, valid) in epoch_batches(epoch):
             images, labels, valid = place(
-                (images, labels, jnp.asarray(np.asarray(valid)))
+                (images, labels, TR._as_device_array(valid))
             )
             if guard is not None:
                 guard.maybe_snapshot(gstep, trainable, opt_state)
@@ -496,7 +496,7 @@ def run_mt_stage2(
         losses = []
         for task, (images, labels, valid) in epoch_batches(epoch):
             images, labels, valid = place(
-                (images, labels, jnp.asarray(np.asarray(valid)))
+                (images, labels, TR._as_device_array(valid))
             )
             if guard is not None:
                 guard.maybe_snapshot(

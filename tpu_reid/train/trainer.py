@@ -122,6 +122,15 @@ def stage2_opt_state_template(params, cfg: M.ReidModelConfig,
     ).init(trainable)
 
 
+def _as_device_array(x):
+    """Batch leaf -> jax array WITHOUT a device round-trip for leaves that
+    are already on device (a committed/sharded array pulled through
+    np.asarray would block on a device-to-host fetch every step)."""
+    if isinstance(x, jax.Array):
+        return x
+    return jnp.asarray(np.asarray(x))
+
+
 def _batch_placer(mesh):
     """Batch-arg placement for the mesh path: jit's in_shardings refuse
     committed arrays whose sharding disagrees (a cached-feature slice or a
@@ -312,7 +321,7 @@ def run_stage1(
                 batch = place({
                     "images": images,
                     "labels": lab,
-                    "valid": jnp.asarray(np.asarray(valid)),
+                    "valid": _as_device_array(valid),
                 })
                 lf = guarded_step(gstep, batch)
                 gstep += 1
@@ -454,7 +463,7 @@ def run_stage2(
             if guard is not None:
                 guard.maybe_snapshot(gstep, trainable, frozen, opt_state)
             images, labels, valid = place(
-                (images, labels, jnp.asarray(np.asarray(valid)))
+                (images, labels, _as_device_array(valid))
             )
             trainable, frozen, opt_state, loss = step(
                 trainable, frozen, opt_state, images, labels, text_features,
