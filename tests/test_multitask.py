@@ -600,3 +600,55 @@ def test_mt_stage1_mid_resume_equals_straight_run():
     )
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_multitask_cli_devices(tmp_path, monkeypatch):
+    """--devices 8 on the hard variant: both mt stages (per-task sharded
+    steps) and extraction run over the 8-device CPU mesh in one CLI
+    invocation, with batch placement owned by the trainers."""
+    import torch
+    from PIL import Image
+
+    from tpu_reid.cli import multitask as cli
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+    for name in ("Market1501", "DukeMTMC-reID"):
+        base = root / name
+        for sub in ("bounding_box_train", "query", "bounding_box_test"):
+            (base / sub).mkdir(parents=True)
+        for pid, cam, n in [(1, 1, 4), (2, 2, 4)]:
+            for k in range(n):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg")
+        for pid in (1, 2):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
+            for k in range(2):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_test" / f"{pid:04d}_c{1 + k}s1_{k:06d}_00.jpg")
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    merges = str(root / "m.gz")
+    write_test_merges(merges, [("p", "h")])
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["multitask", "--root", str(root),
+         "--model_path", ckpt, "--bpe_path", merges,
+         "--variant", "hard", "--height", "32", "--stride", "8",
+         "--bs", "8", "--devices", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--save_path", str(root / "ck")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
