@@ -93,3 +93,77 @@ def test_checkpoint_extras_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert mgr.restore_extras(7, {"opt_state": opt.init(params)}) is None
     mgr.close()
+
+
+def test_two_stage_cb_resume_roundtrip(tmp_path):
+    """two_stage_cb saves the stage marker + extras (opt/gpa/xbms) and
+    two_stage_resume restores them into the trainers' kwargs — both
+    mid-stage branches, through real orbax files."""
+    from tpu_reid.runtime.checkpoint import (
+        CheckpointManager, two_stage_cb, two_stage_resume,
+    )
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+    opt1 = {"mu": jnp.full((4,), 0.25)}
+    opt2 = {"nu": jnp.full((2,), 0.5)}
+    gpa = jax.tree.map(lambda x: x * 2.0, params)
+    xbms = [{"bank": jnp.zeros((3, 2)), "fill": jnp.int32(1)},
+            {"bank": jnp.ones((3, 2)), "fill": jnp.int32(2)}]
+
+    # --- mid-stage-1 (no gpa for stage 1 here) ---
+    mgr = CheckpointManager(str(tmp_path / "a"), save_interval=1)
+    cb1 = two_stage_cb(mgr, stage=0, step_of=lambda e: e)
+    cb1(1, params, {"opt_state": opt1, "gpa": None})
+    p, done, kw1, kw2 = two_stage_resume(
+        mgr, jax.tree.map(jnp.zeros_like, params),
+        s1_opt_template=lambda p: jax.tree.map(jnp.zeros_like, opt1),
+        s2_opt_template=lambda p: jax.tree.map(jnp.zeros_like, opt2),
+        gpa1_used=False, gpa2_used=True,
+        xbm_template=lambda: [jax.tree.map(jnp.zeros_like, x) for x in xbms],
+    )
+    assert done == 0 and kw1["start_epoch"] == 2
+    np.testing.assert_array_equal(np.asarray(p["w"]), np.arange(4.0))
+    np.testing.assert_array_equal(
+        np.asarray(kw1["init_opt_state"]["mu"]), 0.25 * np.ones(4)
+    )
+    assert kw1["init_gpa"] is None
+    mgr.close()
+
+    # --- mid-stage-2 (gpa + xbm banks) ---
+    mgr = CheckpointManager(str(tmp_path / "b"), save_interval=1)
+    cb2 = two_stage_cb(mgr, stage=1, step_of=lambda e: 10 + e)
+    cb2(3, params, {"opt_state": opt2, "gpa": gpa, "xbms": xbms})
+    p, done, kw1, kw2 = two_stage_resume(
+        mgr, jax.tree.map(jnp.zeros_like, params),
+        s1_opt_template=lambda p: jax.tree.map(jnp.zeros_like, opt1),
+        s2_opt_template=lambda p: jax.tree.map(jnp.zeros_like, opt2),
+        gpa1_used=False, gpa2_used=True,
+        xbm_template=lambda: [jax.tree.map(jnp.zeros_like, x) for x in xbms],
+    )
+    assert done == 1 and kw2["start_epoch"] == 4
+    np.testing.assert_array_equal(
+        np.asarray(kw2["init_opt_state"]["nu"]), 0.5 * np.ones(2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kw2["init_gpa"]["w"]), 2.0 * np.arange(4.0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kw2["init_xbms"][1]["bank"]), np.ones((3, 2))
+    )
+    assert int(kw2["init_xbms"][1]["fill"]) == 2
+    mgr.close()
+
+    # --- missing extras: warn, restart stage from scratch ---
+    mgr = CheckpointManager(str(tmp_path / "c"), save_interval=1)
+    mgr.save(5, {"params": params, "stage": 0, "epoch_in_stage": 5})
+    warnings = []
+    p, done, kw1, kw2 = two_stage_resume(
+        mgr, jax.tree.map(jnp.zeros_like, params),
+        s1_opt_template=lambda p: jax.tree.map(jnp.zeros_like, opt1),
+        s2_opt_template=lambda p: jax.tree.map(jnp.zeros_like, opt2),
+        gpa1_used=False, gpa2_used=False, log=warnings.append,
+    )
+    assert done == 0 and kw1["start_epoch"] == 1
+    assert kw1["init_opt_state"] is None
+    assert warnings and "WARNING" in warnings[0]
+    mgr.close()
