@@ -406,3 +406,24 @@ def test_zero_shot_cli_vehicleid_personx_msmt17v1(assets, monkeypatch, tmp_path)
         )
         cmc, mAP = cli.main()
         assert 0.0 <= mAP <= 1.0, ds
+
+
+def test_prompt_learning_cli_devices_bf16(assets, monkeypatch, tmp_path):
+    """--devices 8 + --dtype bf16: sharded training steps with bf16
+    activations / fp32 master params compose."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--devices", "8", "--dtype", "bf16",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "ivlp",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
