@@ -1,0 +1,22 @@
+from tpu_reid.parallel.extract import extract_embeddings, make_extractor
+from tpu_reid.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+    shard_map_nocheck,
+)
+
+__all__ = [
+    "extract_embeddings",
+    "make_extractor",
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate",
+    "pad_to_multiple",
+    "shard_map_nocheck",
+]
