@@ -200,6 +200,81 @@ def test_prompt_learning_cli_bf16(assets, monkeypatch, tmp_path):
     assert 0.0 <= mAP <= 1.0
 
 
+def test_prompt_learning_cli_captions(assets, monkeypatch, tmp_path):
+    """--captions_file: two-stage training with per-identity GPT-4o-style
+    caption prompts — the VLPromptLearnerGPT4o capability the reference
+    defines but never wires into any entry point (reference:
+    maple.py:93-169)."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    caps = tmp_path / "prompts_market1501.txt"
+    caps.write_text(
+        "\n".join(
+            f"{i}: A photo of a person wearing outfit number {i} with "
+            f"distinctive style {i}."
+            for i in range(4)  # 4 train identities in the fixture
+        )
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "ivlp",
+         "--captions_file", str(caps),
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_cli_augmented_prompts(assets, monkeypatch, tmp_path):
+    """--augmented_prompts: 4 article-variant templates with shared
+    per-class ctx, text features mean-pooled over the template axis — the
+    PromptLearnerAugmented/TextEncoderAugmented pair the reference defines
+    (coop.py:12-59, text_encoder.py:27-53) but never instantiates."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "coop", "--augmented_prompts",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_cli_jpm(assets, monkeypatch, tmp_path):
+    """--jpm: two-stage training + eval with the TransReID jigsaw-patch
+    branch wired in as a 4th feature level (the reference defines the JPM
+    tower but never wires it into an entry point; reference:
+    coop.py:230-277, jpm.py)."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "coop", "--jpm",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
 def test_prompt_learning_promptsrc_metaclip_teacher(assets, monkeypatch,
                                                     tmp_path):
     """promptsrc with --zs_weights: the frozen ZS teacher loads from a

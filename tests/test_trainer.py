@@ -19,7 +19,7 @@ from tpu_reid.weights.convert import convert_clip
 RNG = np.random.RandomState(0)
 
 
-def tiny_model(mode="coop", n_cls=6):
+def tiny_model(mode="coop", n_cls=6, use_jpm=False):
     design = PromptDesign()
     if mode in ("ivlp", "promptsrc"):
         design = PromptDesign(trainer="IVLP", vision_depth=2, vision_ctx=2,
@@ -47,7 +47,8 @@ def tiny_model(mode="coop", n_cls=6):
     tokens[0, 1:10] = RNG.randint(1, 117, 9)
     tokens[0, 10] = 119
     temb = np.asarray(cparams["text"]["token_embedding"])[tokens]
-    mcfg = M.ReidModelConfig(mode=mode, clip=ccfg, prompt=pcfg)
+    mcfg = M.ReidModelConfig(mode=mode, clip=ccfg, prompt=pcfg,
+                             use_jpm=use_jpm)
     zs = None
     if mode == "promptsrc":
         zs = jax.tree.map(np.copy, cparams["visual"])
@@ -160,6 +161,54 @@ def test_eval_embed_shape():
     images = jnp.zeros((4, 32, 16, 3))
     emb = M.eval_embed(params, mcfg, images)
     assert emb.shape == (4, 64 + 32)  # non_proj width + proj dim
+
+
+def test_stage2_jpm_branch():
+    """use_jpm wiring: the jigsaw branch is a 4th feature level — stage 2
+    trains its block copy and ID head, threads its BNNeck running stats,
+    keeps its BN bias frozen at zero, and eval_embed concatenates the JPM
+    CLS. (The reference defines the JPM tower but never instantiates it —
+    reference: coop.py:230-277, jpm.py.)"""
+    mcfg, params = tiny_model("coop", use_jpm=True)
+    images = jnp.asarray(np.random.RandomState(3).randn(4, 32, 16, 3),
+                         jnp.float32)
+
+    # forward contract: 3 cls_scores, 4 features, jpm bn stats present
+    out = M.forward_train(params, mcfg, images, train=True)
+    assert len(out["cls_scores"]) == 3
+    assert len(out["features"]) == 4
+    assert out["features"][3].shape == (4, 64)
+    assert out["bn_stats"]["jpm"] is not None
+
+    # jpm branch differs from the plain x12 CLS (the shuffle + block copy
+    # does real work)
+    feats = M.encode_image_features(params, mcfg, images)
+    assert not np.allclose(np.asarray(feats["jpm"]),
+                           np.asarray(feats["non_proj"]), atol=1e-3)
+
+    emb = M.eval_embed(params, mcfg, images)
+    assert emb.shape == (4, 64 + 32 + 64)
+
+    out = TR.run_stage2(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(fake_batches()),
+        epochs=1, log=lambda s: None,
+    )
+    assert not leaves_equal(out["jpm"], params["jpm"])
+    assert not leaves_equal(out["jpm_head"]["cls"], params["jpm_head"]["cls"])
+    np.testing.assert_array_equal(
+        np.asarray(out["jpm_head"]["bn"]["bias"]), 0
+    )
+    assert not np.allclose(
+        np.asarray(out["jpm_head"]["bn"]["mean"]),
+        np.asarray(params["jpm_head"]["bn"]["mean"]),
+    )
+    # stage 1 leaves the jpm branch untouched (text-side training only)
+    s1 = TR.run_stage1(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(fake_batches()),
+        epochs=1, log=lambda s: None,
+    )
+    assert leaves_equal(s1["jpm"], params["jpm"])
+    assert leaves_equal(s1["jpm_head"], params["jpm_head"])
 
 
 def test_stage1_loss_decreases():

@@ -43,6 +43,28 @@ def params_parser():
     p.add_argument("--pretrained_vpt", default=None, type=str,
                    help="IVLP ImageNet-pretrained VPT checkpoint "
                         "(reference: clip_imagenet_pretrained_ivlp.pth.tar-5)")
+    p.add_argument("--augmented_prompts", action="store_true",
+                   help="4 article-variant prompt templates with shared "
+                        "per-class ctx; text features are the mean over the "
+                        "per-template encodings. The reference defines this "
+                        "learner (coop.py:12-59, text_encoder.py:27-53) but "
+                        "never instantiates it; person datasets only (the "
+                        "templates say 'person')")
+    p.add_argument("--jpm", action="store_true",
+                   help="add the TransReID Jigsaw Patch Module branch: a "
+                        "4th feature level (shuffled-patch re-run of the "
+                        "last block) with its own BNNeck+ID head in stage 2 "
+                        "and a concatenated eval embedding. The reference "
+                        "defines the JPM tower but never wires it "
+                        "(reference: coop.py:230-277, jpm.py); coop/adapter "
+                        "modes only (no vision prompt tokens)")
+    p.add_argument("--captions_file", default=None, type=str,
+                   help="per-identity caption prompts ('label: description' "
+                        "lines, e.g. from tools/caption_prompts.py). Uses the "
+                        "GPT-4o caption prompt learner the reference defines "
+                        "but never wires into an entry point "
+                        "(reference: maple.py:93-169); ignored for --train_"
+                        "dataset veri (car-type templates take precedence)")
     p.add_argument("--devices", default=1, type=int,
                    help="shard training + extraction + streamed rerank "
                         "over a 'data' mesh of this many devices "
@@ -129,9 +151,12 @@ def build_model(args, n_cls: int, car_types=None):
                 )
 
     # prompt templates
-    from tpu_reid.models.prompts import base_template, veri_templates
+    from tpu_reid.models.prompts import (
+        base_template, read_caption_prompts, veri_templates,
+    )
 
     tokenizer = ClipTokenizer(args.bpe_path)
+    captions_file = getattr(args, "captions_file", None)
     if args.train_dataset == "veri" and car_types is not None:
         if args.training_mode in ("ivlp", "promptsrc"):
             pcfg = P.PromptLearnerConfig.veri_ivlp(n_cls)
@@ -141,6 +166,31 @@ def build_model(args, n_cls: int, car_types=None):
             texts = veri_templates(car_types, n_cls_ctx=3)
         tokens = tokenizer.tokenize(
             texts, context_length=cfg.text.context_length, truncate=True
+        )
+    elif captions_file:
+        # per-class caption templates: frozen prefix = SOT + first 4 caption
+        # tokens, 4 learnable ctx spliced in, EOT shifted past the insertion
+        # (reference: maple.py:93-169 — VLPromptLearnerGPT4o, which no
+        # reference entry point instantiates; docs/DIVERGENCES.md #6)
+        pcfg = P.PromptLearnerConfig.captions(n_cls)
+        texts = read_caption_prompts(captions_file, n_cls)
+        tokens = tokenizer.tokenize(
+            texts, context_length=cfg.text.context_length, truncate=True
+        )
+    elif getattr(args, "augmented_prompts", False):
+        # 4 article-variant templates, shared per-class ctx, mean-pooled
+        # text features (reference: coop.py:12-59 PromptLearnerAugmented —
+        # imported by two reference scripts, instantiated by none)
+        from tpu_reid.models.prompts import AUGMENTED_TEMPLATES, PERSON_DATASETS
+
+        assert args.train_dataset in PERSON_DATASETS, (
+            "--augmented_prompts templates are person-phrased; use the "
+            "default template for vehicle datasets"
+        )
+        pcfg = P.PromptLearnerConfig.augmented(n_cls)
+        tokens = tokenizer.tokenize(
+            list(AUGMENTED_TEMPLATES),
+            context_length=cfg.text.context_length,
         )
     else:
         pcfg = (P.PromptLearnerConfig.coop(n_cls)
@@ -153,8 +203,14 @@ def build_model(args, n_cls: int, car_types=None):
         )
     temb = np.asarray(clip_params["text"]["token_embedding"])[tokens]
 
+    use_jpm = getattr(args, "jpm", False)
+    if use_jpm:
+        assert args.training_mode in ("coop", "adapter"), (
+            "--jpm requires a prompt-free vision tower "
+            "(--training_mode coop or adapter)"
+        )
     mcfg = M.ReidModelConfig(
-        mode=args.training_mode, clip=cfg, prompt=pcfg
+        mode=args.training_mode, clip=cfg, prompt=pcfg, use_jpm=use_jpm
     )
     zs = None
     if args.training_mode == "promptsrc":

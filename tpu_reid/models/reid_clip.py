@@ -48,9 +48,23 @@ class ReidModelConfig:
     clip: CLIPConfig
     prompt: P.PromptLearnerConfig
     adapter_ratio: float = 0.2
+    # Jigsaw Patch Module branch (TransReID): the reference defines the
+    # JPM tower (coop.py:230-277, jpm.py) but never instantiates it from
+    # any entry point; use_jpm wires it in — a 4th feature level with its
+    # own BNNeck+ID head in stage 2 and a concatenated eval embedding.
+    use_jpm: bool = False
 
     def __post_init__(self):
         assert self.mode in MODES, self.mode
+        if self.use_jpm:
+            # the reference pairs JPM only with the vanilla coop ViT (no
+            # prompt tokens in the vision sequence — shuffling would mix
+            # VPT tokens among patches)
+            assert self.clip.vision is not None, "JPM needs a ViT tower"
+            assert not self.clip.vision.design.has_vision_prompts, (
+                "JPM is only supported without vision prompt tokens "
+                "(coop/adapter family, as in the reference)"
+            )
 
     @property
     def n_cls(self) -> int:
@@ -83,6 +97,14 @@ def init_reid_model(
             k_head, cfg.n_cls, dim_nonproj=width, dim_proj=cfg.clip.embed_dim
         ),
     }
+    if cfg.use_jpm:
+        params["jpm"] = V.init_jpm(clip_params["visual"], cfg.clip.vision)
+        params["jpm_head"] = {
+            "bn": H.init_bnneck(width),
+            "cls": H.init_classifier_head(
+                jax.random.fold_in(k_head, 7), width, cfg.n_cls
+            ),
+        }
     if cfg.mode == "adapter":
         params["adapter"] = H.init_adapter(k_ad, dim=width)
     if cfg.mode == "promptsrc":
@@ -113,34 +135,54 @@ def _cls_triple(params: dict, cfg: ReidModelConfig, images: jax.Array):
     if cfg.mode == "maple":
         shallow, vdeep, _ = _maple_stacks(params, cfg)
         kw = {"deep_prompts": vdeep, "shallow_prompt": shallow}
+    if cfg.use_jpm:
+        kw["jpm_params"] = params["jpm"]
+        x11, x12, xproj, jpm_seq = V.apply_vit(
+            params["clip"]["visual"], cfg.clip.vision, images,
+            cls_only=True, **kw
+        )
+        return x11[:, 0], x12[:, 0], xproj[:, 0], jpm_seq[:, 0]
     x11, x12, xproj = V.apply_vit(
         params["clip"]["visual"], cfg.clip.vision, images, cls_only=True, **kw
     )
-    return x11[:, 0], x12[:, 0], xproj[:, 0]
+    return x11[:, 0], x12[:, 0], xproj[:, 0], None
 
 
 def encode_image_features(
     params: dict, cfg: ReidModelConfig, images: jax.Array
 ) -> dict:
     """CLS features at the three levels (reference contract:
-    coop.py:203-227). Adapter mode blends the non-proj level."""
-    last, non_proj, proj = _cls_triple(params, cfg, images)
+    coop.py:203-227). Adapter mode blends the non-proj level; use_jpm adds
+    the jigsaw-branch CLS as a 4th entry ("jpm")."""
+    last, non_proj, proj, jpm = _cls_triple(params, cfg, images)
     if cfg.mode == "adapter":
         non_proj = H.apply_adapter(
             params["adapter"], non_proj, cfg.adapter_ratio
         )
-    return {"last": last, "non_proj": non_proj, "proj": proj}
+    out = {"last": last, "non_proj": non_proj, "proj": proj}
+    if jpm is not None:
+        out["jpm"] = jpm
+    return out
 
 
 def encode_text_features(
     params: dict, cfg: ReidModelConfig, label: jax.Array
 ) -> jax.Array:
-    """Prompt-learner text path (reference: prompt_learning.py:77-86)."""
+    """Prompt-learner text path (reference: prompt_learning.py:77-86).
+
+    With an augmented prompt config (n_templates > 1) the learner emits
+    (B, T, L, D) prompts and the features are the mean over the per-template
+    encodings (reference: coop.py:12-59 + text_encoder.py:27-53 — defined
+    there but never instantiated by any reference entry point)."""
     prompts, eot = P.apply_prompt_learner(params["prompt_learner"], cfg.prompt, label)
     kw = {}
     if cfg.mode == "maple":
         _, _, tdeep = _maple_stacks(params, cfg)
         kw = {"deep_prompts": tdeep}
+    if cfg.prompt.n_templates > 1:
+        return T.encode_text_embeddings_augmented(
+            params["clip"]["text"], cfg.clip.text, prompts, eot, **kw
+        )
     return T.encode_text_embeddings(
         params["clip"]["text"], cfg.clip.text, prompts, eot, **kw
     )
@@ -212,6 +254,21 @@ def forward_train(
         "proj": feats["proj"],
         "bn_stats": head["new_stats"],
     }
+    if cfg.use_jpm:
+        # JPM = a 4th feature level: its own BNNeck + ID head joins the
+        # 0.25-weighted CE sum and the triplet runs on the raw JPM CLS —
+        # the same treatment every other level gets in the stage-2 loss
+        # (the reference defines no JPM consumer; this mirrors TransReID's
+        # jigsaw-branch training and the reference's per-level loss shape,
+        # prompt_learning.py:483-502)
+        bn_jpm, jpm_stats = H.apply_bnneck(
+            params["jpm_head"]["bn"], feats["jpm"], train, valid=valid
+        )
+        out["cls_scores"] = out["cls_scores"] + (
+            H.apply_classifier_head(params["jpm_head"]["cls"], bn_jpm),
+        )
+        out["features"] = out["features"] + (feats["jpm"],)
+        out["bn_stats"] = dict(out["bn_stats"], jpm=jpm_stats)
     if "zs_non_proj" in feats:
         out["zs_non_proj"] = feats["zs_non_proj"]
     return out
@@ -219,9 +276,14 @@ def forward_train(
 
 def eval_embed(params: dict, cfg: ReidModelConfig, images: jax.Array) -> jax.Array:
     """Retrieval embedding: cat(non_proj CLS, proj CLS) — 1280-d for
-    ViT-B/16 (reference: prompt_learning.py:114, :324)."""
+    ViT-B/16 (reference: prompt_learning.py:114, :324). With use_jpm the
+    jigsaw-branch CLS is concatenated as well (the reference defines no
+    JPM eval contract; TransReID-style feature concat)."""
     feats = encode_image_features(params, cfg, images)
-    return jnp.concatenate([feats["non_proj"], feats["proj"]], axis=-1)
+    parts = [feats["non_proj"], feats["proj"]]
+    if cfg.use_jpm:
+        parts.append(feats["jpm"])
+    return jnp.concatenate(parts, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +321,8 @@ def stage2_trainable(path: Tuple[str, ...], cfg: ReidModelConfig) -> bool:
         return False
     # BNNeck bias frozen at zero (reference: utils.py:133)
     if path[0] == "head" and path[1] in ("bn", "bn_proj") and path[-1] == "bias":
+        return False
+    if path[0] == "jpm_head" and path[1] == "bn" and path[-1] == "bias":
         return False
     # BN running stats are state, not parameters
     if path[-1] in ("mean", "var"):

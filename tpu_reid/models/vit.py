@@ -93,7 +93,8 @@ def apply_vit(
     shallow_prompt: Optional[jax.Array] = None,
     cv_emb: Optional[jax.Array] = None,
     cls_only: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    jpm_params: Optional[dict] = None,
+) -> tuple[jax.Array, ...]:
     """Forward pass. Returns (x11, x12, xproj) full sequences; callers take
     [:, 0] for the CLS features (reference: prompt_learning.py:114).
 
@@ -103,9 +104,14 @@ def apply_vit(
 
     cls_only=True runs the final block, ln_post and the projection on the
     CLS position only (x12/xproj come back as (B, 1, ...)) — exact for
-    every caller that consumes [:, 0], and ~6% cheaper end to end. Callers
-    needing the full final sequence (JPM's shuffled-patch branch) keep the
-    default.
+    every caller that consumes [:, 0], and ~6% cheaper end to end.
+
+    jpm_params adds the jigsaw-patch branch on the final pre-LN sequence
+    and returns a 4-tuple (x11, x12, xproj, jpm_seq), the JPM tower
+    contract (reference: coop.py:230-277 returns the same 4-tuple). The
+    final block always runs on the full sequence (JPM consumes its full
+    output); with cls_only the ln_post/proj tail still narrows to the CLS
+    row.
     """
     x = patch_embed(params, cfg, images)
     b = x.shape[0]
@@ -148,6 +154,14 @@ def apply_vit(
     if dp is not None:
         spliced = L.splice_prompt_tokens(x_last, dp[n_layers - 1], text_side=False)
         x_last = jnp.where(flags[n_layers - 1], spliced, x_last)
+    if jpm_params is not None:
+        x12_pre = L.residual_block(tail, x_last, cfg.heads)
+        jpm_seq = apply_jpm(jpm_params, cfg, x12_pre)
+        if cls_only:
+            x12_pre = x12_pre[:, :1]
+        x12 = L.layer_norm(params["ln_post"], x12_pre)
+        xproj = jnp.dot(x12, params["proj"].astype(x12.dtype))
+        return x11, x12, xproj, jpm_seq
     if cls_only:
         x12 = L.residual_block_cls(tail, x_last, cfg.heads)
     else:

@@ -405,6 +405,13 @@ def make_stage2_step(
                 frozen["head"][name] = dict(frozen["head"][name])
                 frozen["head"][name]["mean"] = stats["mean"]
                 frozen["head"][name]["var"] = stats["var"]
+        jpm_stats = bn_stats.get("jpm")
+        if jpm_stats is not None:  # use_jpm: 4th BNNeck on the jigsaw branch
+            frozen["jpm_head"] = dict(frozen["jpm_head"])
+            frozen["jpm_head"]["bn"] = dict(
+                frozen["jpm_head"]["bn"],
+                mean=jpm_stats["mean"], var=jpm_stats["var"],
+            )
         return trainable, frozen, opt_state, loss
 
     if mesh is None:
