@@ -275,6 +275,49 @@ def test_prompt_learning_cli_jpm(assets, monkeypatch, tmp_path):
     assert 0.0 <= mAP <= 1.0
 
 
+def test_prompt_learning_cli_sie(assets, monkeypatch, tmp_path):
+    """--sie_camera --sie_view: camera-x-viewpoint SIE embedding through
+    the live (ivlp) stage-1 path, stage 2 and SIE-aware eval extraction
+    (the cv_emb hook every reference tower accepts but never feeds,
+    coop.py:210-211)."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "ivlp", "--sie_camera", "--sie_view",
+         "--sie_coe", "2.0",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_cli_sie_mesh(assets, monkeypatch, tmp_path):
+    """--sie_camera with --devices 2: camera ids shard over the mesh in the
+    cached (coop) stage-1 precompute, the stage-2 step and extraction."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "coop", "--sie_camera", "--devices", "2",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+
+
 def test_prompt_learning_promptsrc_metaclip_teacher(assets, monkeypatch,
                                                     tmp_path):
     """promptsrc with --zs_weights: the frozen ZS teacher loads from a

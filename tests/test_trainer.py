@@ -19,7 +19,7 @@ from tpu_reid.weights.convert import convert_clip
 RNG = np.random.RandomState(0)
 
 
-def tiny_model(mode="coop", n_cls=6, use_jpm=False):
+def tiny_model(mode="coop", n_cls=6, use_jpm=False, sie_ids=0):
     design = PromptDesign()
     if mode in ("ivlp", "promptsrc"):
         design = PromptDesign(trainer="IVLP", vision_depth=2, vision_ctx=2,
@@ -48,7 +48,7 @@ def tiny_model(mode="coop", n_cls=6, use_jpm=False):
     tokens[0, 10] = 119
     temb = np.asarray(cparams["text"]["token_embedding"])[tokens]
     mcfg = M.ReidModelConfig(mode=mode, clip=ccfg, prompt=pcfg,
-                             use_jpm=use_jpm)
+                             use_jpm=use_jpm, sie_ids=sie_ids)
     zs = None
     if mode == "promptsrc":
         zs = jax.tree.map(np.copy, cparams["visual"])
@@ -209,6 +209,52 @@ def test_stage2_jpm_branch():
     )
     assert leaves_equal(s1["jpm"], params["jpm"])
     assert leaves_equal(s1["jpm_head"], params["jpm_head"])
+
+
+def test_sie_camera_embedding():
+    """sie_ids wiring (SIE, CLIP-ReID-style): camera ids shift the CLS
+    token through a learned embedding — different camids give different
+    embeddings, out-of-range ids clamp, stage 2 trains the table and
+    stage 1 leaves it frozen. (Every reference tower accepts the cv_emb
+    hook but no reference entry point feeds it — coop.py:210-211.)"""
+    mcfg, params = tiny_model("coop", sie_ids=3)
+    assert params["sie_embed"].shape == (3, 64)
+    images = jnp.asarray(np.random.RandomState(5).randn(4, 32, 16, 3),
+                         jnp.float32)
+    cv0 = jnp.zeros((4,), jnp.int32)
+    cv1 = jnp.ones((4,), jnp.int32)
+    e0 = M.eval_embed(params, mcfg, images, cv_ids=cv0)
+    e1 = M.eval_embed(params, mcfg, images, cv_ids=cv1)
+    assert not np.allclose(np.asarray(e0), np.asarray(e1), atol=1e-4)
+    # unseen eval camera ids clamp to the last row instead of crashing
+    e_clamp = M.eval_embed(params, mcfg, images,
+                           cv_ids=jnp.full((4,), 99, jnp.int32))
+    e_last = M.eval_embed(params, mcfg, images,
+                          cv_ids=jnp.full((4,), 2, jnp.int32))
+    np.testing.assert_allclose(np.asarray(e_clamp), np.asarray(e_last))
+
+    def batches_with_cams(n_batches=3, bs=8, seed=0):
+        rng = np.random.RandomState(seed)
+        out = []
+        for _ in range(n_batches):
+            images = jnp.asarray(rng.randn(bs, 32, 16, 3).astype(np.float32))
+            labels = jnp.asarray(
+                np.repeat(rng.choice(6, bs // 4, replace=False), 4))
+            cams = jnp.asarray(rng.randint(0, 3, bs), jnp.int32)
+            out.append((images, labels, np.ones(bs, bool), cams))
+        return out
+
+    out = TR.run_stage2(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches_with_cams()),
+        epochs=1, log=lambda s: None,
+    )
+    assert not leaves_equal(out["sie_embed"], params["sie_embed"])
+    # stage 1 (cached coop path consumes the 4-tuple batches) freezes SIE
+    s1 = TR.run_stage1(
+        params, mcfg, TR.TrainConfig(), lambda e: iter(batches_with_cams()),
+        epochs=1, log=lambda s: None,
+    )
+    assert leaves_equal(s1["sie_embed"], params["sie_embed"])
 
 
 def test_stage1_loss_decreases():

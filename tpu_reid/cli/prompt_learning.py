@@ -65,6 +65,19 @@ def params_parser():
                         "but never wires into an entry point "
                         "(reference: maple.py:93-169); ignored for --train_"
                         "dataset veri (car-type templates take precedence)")
+    p.add_argument("--sie_camera", action="store_true",
+                   help="SIE: learn a per-camera embedding added to the CLS "
+                        "token (scaled by --sie_coe), applied in training "
+                        "and inference. Every reference tower accepts the "
+                        "cv_emb hook (coop.py:210-211) but no entry point "
+                        "feeds it; this wires it CLIP-ReID-style")
+    p.add_argument("--sie_view", action="store_true",
+                   help="SIE over viewpoints (TransReID's full SIE is "
+                        "camera x view): condition on the record's view id "
+                        "(VeRi keypoint viewpoints; Market sequence ids). "
+                        "Composes with --sie_camera into one embedding table")
+    p.add_argument("--sie_coe", default=1.0, type=float,
+                   help="SIE embedding coefficient")
     p.add_argument("--devices", default=1, type=int,
                    help="shard training + extraction + streamed rerank "
                         "over a 'data' mesh of this many devices "
@@ -82,8 +95,11 @@ def params_parser():
     return p.parse_args()
 
 
-def build_model(args, n_cls: int, car_types=None):
-    """Load + convert CLIP and assemble the ReID model for the chosen mode."""
+def build_model(args, n_cls: int, car_types=None, n_sie_ids: int = 0):
+    """Load + convert CLIP and assemble the ReID model for the chosen mode.
+
+    n_sie_ids > 0 (from --sie_camera/--sie_view) sizes the learned SIE
+    embedding table (cameras, viewpoints, or cameras x viewpoints)."""
     import jax
 
     from tpu_reid.configs import PromptDesign
@@ -210,7 +226,8 @@ def build_model(args, n_cls: int, car_types=None):
             "(--training_mode coop or adapter)"
         )
     mcfg = M.ReidModelConfig(
-        mode=args.training_mode, clip=cfg, prompt=pcfg, use_jpm=use_jpm
+        mode=args.training_mode, clip=cfg, prompt=pcfg, use_jpm=use_jpm,
+        sie_ids=n_sie_ids, sie_coe=getattr(args, "sie_coe", 1.0),
     )
     zs = None
     if args.training_mode == "promptsrc":
@@ -268,8 +285,33 @@ def main():
     log = MetricLogger(args.log_dir)
     dataset = get_dataset(args.root, args.train_dataset)
     n_cls = dataset.num_train_pids
-    mcfg, params, (h, w) = build_model(args, n_cls, dataset.car_types_train)
-    log.log("model", mode=args.training_mode, n_cls=n_cls, h=h, w=w)
+    # SIE table: cameras x viewpoints (TransReID composition); either
+    # factor alone when only one flag is set
+    sie_cam = getattr(args, "sie_camera", False)
+    sie_view = getattr(args, "sie_view", False)
+    n_sie, n_views = 0, 1
+    if sie_cam or sie_view:
+        recs = dataset.train + dataset.query + dataset.gallery
+        n_cams = (1 + max(r[2] for r in recs)) if sie_cam else 1
+        n_views = (1 + max(r[3] for r in recs)) if sie_view else 1
+        n_sie = n_cams * n_views
+
+        def sie_ids_of(b):
+            ids = np.zeros(len(b.pids), np.int64)
+            if sie_cam:
+                ids = np.asarray(b.camids, np.int64) * n_views
+            if sie_view:
+                ids = ids + np.minimum(
+                    np.asarray(b.seqids, np.int64), n_views - 1
+                )
+            return ids.astype(np.int32)
+    else:
+        sie_ids_of = None
+    mcfg, params, (h, w) = build_model(
+        args, n_cls, dataset.car_types_train, n_sie_ids=n_sie
+    )
+    log.log("model", mode=args.training_mode, n_cls=n_cls, h=h, w=w,
+            sie_ids=n_sie)
 
     # bf16 activations: params stay fp32 (the layers cast weights to the
     # activation dtype on the fly), so the optimizer sees full-precision
@@ -298,7 +340,11 @@ def main():
         )
         for b in loader:
             # the trainers place every batch leaf onto the mesh themselves
-            yield pp.eval_batch(jnp.asarray(b.images)), jnp.asarray(b.pids), b.valid
+            out = (pp.eval_batch(jnp.asarray(b.images)),
+                   jnp.asarray(b.pids), b.valid)
+            if n_sie:  # SIE: side-info ids ride as a trailing element
+                out = out + (jnp.asarray(sie_ids_of(b)),)
+            yield out
 
     def stage2_batches(epoch):
         labels = [r[1] for r in dataset.train]
@@ -312,7 +358,10 @@ def main():
                 jnp.asarray(b.images), jax.random.fold_in(k, i),
                 pad_hw=(10, 10),
             )
-            yield imgs, jnp.asarray(b.pids), b.valid
+            out = (imgs, jnp.asarray(b.pids), b.valid)
+            if n_sie:
+                out = out + (jnp.asarray(sie_ids_of(b)),)
+            yield out
 
     tcfg = TR.TrainConfig(
         epochs_stage1=args.epochs_stage1, epochs_stage2=args.epochs_stage2
@@ -380,17 +429,25 @@ def main():
 
     with log.phase("test"):
         test_ds = get_dataset(args.root, args.test_dataset)
-        extractor = make_extractor(
-            lambda p, im: M.eval_embed(p, mcfg, im), pp, flip_tta=True,
-            mesh=mesh,
-        )
+        if n_sie:
+            # SIE applies at inference too (ids past the training range
+            # clamp to the last embedding row inside the model)
+            extractor = make_extractor(
+                lambda p, im, cv: M.eval_embed(p, mcfg, im, cv_ids=cv),
+                pp, flip_tta=True, mesh=mesh, with_cv_ids=True,
+            )
+        else:
+            extractor = make_extractor(
+                lambda p, im: M.eval_embed(p, mcfg, im), pp, flip_tta=True,
+                mesh=mesh,
+            )
         g_feats, g_pids, g_cams, _ = extract_embeddings(
             extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w)),
-            mesh=mesh,
+            mesh=mesh, cv_ids_of=sie_ids_of,
         )
         q_feats, q_pids, q_cams, _ = extract_embeddings(
             extractor, params, BatchLoader(test_ds.query, args.bs, (h, w)),
-            mesh=mesh,
+            mesh=mesh, cv_ids_of=sie_ids_of,
         )
         ev = Evaluator(
             num_query=len(q_pids), max_rank=10, feat_norm=True,

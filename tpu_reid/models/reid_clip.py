@@ -53,6 +53,13 @@ class ReidModelConfig:
     # any entry point; use_jpm wires it in — a 4th feature level with its
     # own BNNeck+ID head in stage 2 and a concatenated eval embedding.
     use_jpm: bool = False
+    # SIE (side-information embedding, TransReID/CLIP-ReID): a learned
+    # per-camera embedding scaled by sie_coe and added to the CLS token.
+    # Every reference vision tower accepts the hook (`cv_emb`,
+    # coop.py:210-211, custom_clip_model.py:84-85, clip_adapter.py:106-107)
+    # but no reference entry point ever feeds it; sie_ids > 0 wires it.
+    sie_ids: int = 0
+    sie_coe: float = 1.0
 
     def __post_init__(self):
         assert self.mode in MODES, self.mode
@@ -105,6 +112,12 @@ def init_reid_model(
                 jax.random.fold_in(k_head, 7), width, cfg.n_cls
             ),
         }
+    if cfg.sie_ids > 0:
+        # per-camera CLS offset, trunc-normal-style init std 0.02
+        # (CLIP-ReID's cv_embed convention)
+        params["sie_embed"] = 0.02 * jax.random.normal(
+            jax.random.fold_in(k_head, 11), (cfg.sie_ids, width)
+        )
     if cfg.mode == "adapter":
         params["adapter"] = H.init_adapter(k_ad, dim=width)
     if cfg.mode == "promptsrc":
@@ -130,11 +143,20 @@ def _maple_stacks(params: dict, cfg: ReidModelConfig):
     return maple_prompt_stacks(params["maple"], cfg.clip.vision.layers)
 
 
-def _cls_triple(params: dict, cfg: ReidModelConfig, images: jax.Array):
+def _cls_triple(
+    params: dict, cfg: ReidModelConfig, images: jax.Array, cv_ids=None
+):
     kw = {}
     if cfg.mode == "maple":
         shallow, vdeep, _ = _maple_stacks(params, cfg)
         kw = {"deep_prompts": vdeep, "shallow_prompt": shallow}
+    if cfg.sie_ids > 0:
+        assert cv_ids is not None, (
+            "sie_ids > 0: every image-encode call needs camera ids"
+        )
+        # clamp so eval splits with unseen camera ids stay in range
+        cv_ids = jnp.clip(cv_ids, 0, cfg.sie_ids - 1)
+        kw["cv_emb"] = cfg.sie_coe * params["sie_embed"][cv_ids]
     if cfg.use_jpm:
         kw["jpm_params"] = params["jpm"]
         x11, x12, xproj, jpm_seq = V.apply_vit(
@@ -149,12 +171,13 @@ def _cls_triple(params: dict, cfg: ReidModelConfig, images: jax.Array):
 
 
 def encode_image_features(
-    params: dict, cfg: ReidModelConfig, images: jax.Array
+    params: dict, cfg: ReidModelConfig, images: jax.Array, cv_ids=None
 ) -> dict:
     """CLS features at the three levels (reference contract:
     coop.py:203-227). Adapter mode blends the non-proj level; use_jpm adds
-    the jigsaw-branch CLS as a 4th entry ("jpm")."""
-    last, non_proj, proj, jpm = _cls_triple(params, cfg, images)
+    the jigsaw-branch CLS as a 4th entry ("jpm"); cv_ids (B,) int camera
+    ids feed the SIE embedding when sie_ids > 0."""
+    last, non_proj, proj, jpm = _cls_triple(params, cfg, images, cv_ids)
     if cfg.mode == "adapter":
         non_proj = H.apply_adapter(
             params["adapter"], non_proj, cfg.adapter_ratio
@@ -205,7 +228,7 @@ def all_class_text_features(
 
 
 def encode_train_features(
-    params: dict, cfg: ReidModelConfig, images: jax.Array
+    params: dict, cfg: ReidModelConfig, images: jax.Array, cv_ids=None
 ) -> dict:
     """Image-side training encode: the feature triple (+ the frozen ZS
     teacher's non-proj feature for promptsrc). This is the hot encoder
@@ -215,7 +238,7 @@ def encode_train_features(
     global-batch semantics (BN stats, triplet/SupCon mining over the full
     batch, matching the reference's single-device batch-global mining,
     losses.py:31-83)."""
-    feats = encode_image_features(params, cfg, images)
+    feats = encode_image_features(params, cfg, images, cv_ids)
     if cfg.mode == "promptsrc":
         # the teacher is a VANILLA tower — design stripped so no prompt
         # tokens are spliced into its sequence (the reference builds its
@@ -235,15 +258,17 @@ def encode_train_features(
 
 def forward_train(
     params: dict, cfg: ReidModelConfig, images: jax.Array, train: bool = True,
-    valid: Optional[jax.Array] = None, encode_fn=None,
+    valid: Optional[jax.Array] = None, encode_fn=None, cv_ids=None,
 ) -> dict:
     """Training-time forward for the stage-2 loss (reference:
     prompt_learning.py:301-317): ID logits at both BNNeck levels + the
     feature triple + optionally the frozen ZS teacher's non-proj feature.
     valid: (B,) row mask — padded rows stay out of the BNNeck batch stats.
     encode_fn overrides encode_train_features (multi-chip trainers pass a
-    shard_map-wrapped version)."""
-    feats = (encode_fn or encode_train_features)(params, cfg, images)
+    shard_map-wrapped version). cv_ids: camera ids for SIE."""
+    feats = (encode_fn or encode_train_features)(
+        params, cfg, images, cv_ids
+    )
     head = H.apply_classifier(
         params["head"], feats["non_proj"], feats["proj"], train=train,
         valid=valid,
@@ -274,12 +299,16 @@ def forward_train(
     return out
 
 
-def eval_embed(params: dict, cfg: ReidModelConfig, images: jax.Array) -> jax.Array:
+def eval_embed(
+    params: dict, cfg: ReidModelConfig, images: jax.Array, cv_ids=None
+) -> jax.Array:
     """Retrieval embedding: cat(non_proj CLS, proj CLS) — 1280-d for
     ViT-B/16 (reference: prompt_learning.py:114, :324). With use_jpm the
     jigsaw-branch CLS is concatenated as well (the reference defines no
-    JPM eval contract; TransReID-style feature concat)."""
-    feats = encode_image_features(params, cfg, images)
+    JPM eval contract; TransReID-style feature concat). With SIE, cv_ids
+    must carry the batch's camera ids (applied at inference too, as in
+    CLIP-ReID)."""
+    feats = encode_image_features(params, cfg, images, cv_ids)
     parts = [feats["non_proj"], feats["proj"]]
     if cfg.use_jpm:
         parts.append(feats["jpm"])

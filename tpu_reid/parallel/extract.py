@@ -25,24 +25,29 @@ from tpu_reid.parallel.mesh import data_sharding, replicated
 
 
 def make_extractor(
-    embed_fn: Callable[[dict, jax.Array], jax.Array],
+    embed_fn: Callable[..., jax.Array],
     preprocess: DevicePreprocess,
     mesh: Optional[Mesh] = None,
     flip_tta: bool = True,
     dtype=jnp.bfloat16,
+    with_cv_ids: bool = False,
 ):
     """Build a jitted sharded step: uint8 images -> embeddings.
 
     embed_fn(params, images_normalized) -> (B, E); with flip_tta the plain
     and flipped passes are averaged (reference: zero_shot_learning.py:
     117-125 divides by 2 — the mean, not the sum, matters for mm mode where
-    the two halves of the embedding have independent scales)."""
+    the two halves of the embedding have independent scales).
 
-    def step(params, images_u8):
+    with_cv_ids=True: the step takes (params, images_u8, cv_ids) and
+    embed_fn takes (params, x, cv_ids) — the SIE camera-embedding path
+    (the flipped TTA pass keeps the same camera ids)."""
+
+    def step(params, images_u8, *cv):
         x = preprocess.eval_batch(images_u8).astype(dtype)
-        feats = embed_fn(params, x)
+        feats = embed_fn(params, x, *cv)
         if flip_tta:
-            feats = (feats + embed_fn(params, x[:, :, ::-1])) * 0.5
+            feats = (feats + embed_fn(params, x[:, :, ::-1], *cv)) * 0.5
         return feats.astype(jnp.float32)
 
     if mesh is None:
@@ -56,15 +61,16 @@ def make_extractor(
 
     from tpu_reid.models.layers import attention_impl
 
-    def step_local(params, images_u8):
+    def step_local(params, images_u8, *cv):
         # inside shard_map shapes are per-device -> fused kernels are safe
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         with attention_impl(impl):
-            return step(params, images_u8)
+            return step(params, images_u8, *cv)
 
+    n_batch_args = 2 if with_cv_ids else 1
     sharded = shard_map_nocheck(
         step_local, mesh=mesh,
-        in_specs=(P(), P("data")),
+        in_specs=(P(),) + (P("data"),) * n_batch_args,
         out_specs=P("data"),
     )
     return jax.jit(sharded)
@@ -78,11 +84,15 @@ def extract_embeddings(
     hang_timeout_s: float = 600.0,
     on_hang=None,
     replicate_params: bool = True,
+    cv_ids_of=None,
 ) -> Tuple[jax.Array, np.ndarray, np.ndarray, np.ndarray]:
     """Sweep a loader; returns (features_on_device, pids, camids, seqids).
 
     batches yield objects with .images (B, H, W, 3) uint8 (fixed B), .pids,
     .camids, .seqids, .valid. Features stay in HBM; metadata is host-side.
+    cv_ids_of(batch) -> (B,) int ids feeds the extractor's third argument
+    (pair with make_extractor(with_cv_ids=True) — the SIE path; e.g.
+    `lambda b: b.camids`, or a camera-x-viewpoint composition).
 
     hang_timeout_s: a StepWatchdog (runtime/guard.py) arms around every
     device dispatch — a wedged chip presents as a silently blocked host
@@ -103,8 +113,12 @@ def extract_embeddings(
     pids, camids, seqids = [], [], []
     put = (lambda x: jax.device_put(x, data_sharding(mesh))) if mesh else jnp.asarray
     for b in batches:
+        extra = (
+            (put(np.asarray(cv_ids_of(b), np.int32)),)
+            if cv_ids_of is not None else ()
+        )
         with StepWatchdog(hang_timeout_s, on_hang=on_hang):
-            f = extractor(params, put(b.images))
+            f = extractor(params, put(b.images), *extra)
         if b.valid.all():
             feats.append(f)
             pids.append(b.pids)

@@ -92,6 +92,27 @@ def sharded_encoder(cfg: M.ReidModelConfig, mesh, fn):
 
     from tpu_reid.models.layers import attention_impl
 
+    # cv_ids (SIE camera ids) thread through only when the config carries
+    # them — the multitask configs (and their 3-arg encode fns) don't
+    uses_sie = getattr(cfg, "sie_ids", 0) > 0
+
+    if uses_sie:
+        def local(params, images, cv_ids):
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            with attention_impl(impl):
+                return fn(params, cfg, images, cv_ids)
+
+        wrapped = shard_map_nocheck(
+            local, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            out_specs=P("data"),
+        )
+
+        def call(params, _cfg, images, cv_ids=None):
+            assert cv_ids is not None, "SIE training needs camera ids"
+            return wrapped(params, images, cv_ids)
+
+        return call
+
     def local(params, images):
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         with attention_impl(impl):
@@ -100,7 +121,7 @@ def sharded_encoder(cfg: M.ReidModelConfig, mesh, fn):
     wrapped = shard_map_nocheck(
         local, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
     )
-    return lambda params, _cfg, images: wrapped(params, images)
+    return lambda params, _cfg, images, cv_ids=None: wrapped(params, images)
 
 
 def stage1_opt_state_template(params, cfg: M.ReidModelConfig,
@@ -182,11 +203,13 @@ def make_stage1_step(cfg: M.ReidModelConfig, optimizer, cached: bool,
         if cached:
             image_features = batch["image_features"]
         elif encode is not None:
-            image_features = encode(params, cfg, batch["images"])["proj"]
+            image_features = encode(
+                params, cfg, batch["images"], batch.get("cv_ids")
+            )["proj"]
         else:
-            image_features = M.encode_image_features(params, cfg, batch["images"])[
-                "proj"
-            ]
+            image_features = M.encode_image_features(
+                params, cfg, batch["images"], batch.get("cv_ids")
+            )["proj"]
         text_features = M.encode_text_features(params, cfg, labels)
         loss = L.supcon_loss(image_features, text_features, labels, labels,
                              anchor_valid=valid, contrast_valid=valid)
@@ -209,13 +232,16 @@ def precompute_image_features(
     batches: Iterable,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frozen-encoder sweep caching proj features for the coop/adapter fast
-    path (reference: prompt_learning.py:365-382). Stays in HBM."""
+    path (reference: prompt_learning.py:365-382). Stays in HBM. Batches may
+    carry a 4th element (camera ids) — applied through the SIE embedding at
+    its frozen initial values, as CLIP-ReID's stage 1 does."""
     encode = jax.jit(
-        lambda p, im: M.encode_image_features(p, cfg, im)["proj"]
+        lambda p, im, cv: M.encode_image_features(p, cfg, im, cv)["proj"]
     )
     feats, labels = [], []
-    for images, lab, valid in batches:
-        f = encode(params, images)
+    for images, lab, valid, *rest in batches:
+        cv = rest[0] if rest else None
+        f = encode(params, images, cv)
         feats.append(f[np.asarray(valid)])
         labels.append(np.asarray(lab)[np.asarray(valid)])
     return jnp.concatenate(feats), jnp.asarray(np.concatenate(labels))
@@ -317,12 +343,15 @@ def run_stage1(
                 if lf is not None:
                     losses.append(lf)
         else:
-            for images, lab, valid in epoch_batches(epoch):
-                batch = place({
+            for images, lab, valid, *rest in epoch_batches(epoch):
+                batch = {
                     "images": images,
                     "labels": lab,
                     "valid": _as_device_array(valid),
-                })
+                }
+                if rest:  # camera ids for SIE
+                    batch["cv_ids"] = _as_device_array(rest[0])
+                batch = place(batch)
                 lf = guarded_step(gstep, batch)
                 gstep += 1
                 if lf is not None:
@@ -358,10 +387,11 @@ def make_stage2_step(
         if mesh is not None else None
     )
 
-    def loss_fn(trainable, frozen, images, labels, text_features, valid):
+    def loss_fn(trainable, frozen, images, labels, text_features, valid,
+                cv_ids):
         params = O.combine(trainable, frozen)
         out = M.forward_train(params, cfg, images, train=True, valid=valid,
-                              encode_fn=encode)
+                              encode_fn=encode, cv_ids=cv_ids)
         loss = jnp.float32(0.0)
         if cfg.mode == "promptsrc":
             loss += smooth_l1(out["features"][1], out["zs_non_proj"], valid)
@@ -390,9 +420,9 @@ def make_stage2_step(
         return loss, out["bn_stats"]
 
     def step(trainable, frozen, opt_state, images, labels, text_features,
-             valid=None):
+             valid=None, cv_ids=None):
         (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, frozen, images, labels, text_features, valid
+            trainable, frozen, images, labels, text_features, valid, cv_ids
         )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
@@ -419,10 +449,14 @@ def make_stage2_step(
     from tpu_reid.parallel.mesh import data_sharding, replicated
 
     rep, dat = replicated(mesh), data_sharding(mesh)
-    # params/opt state/text features replicated; image/label/valid sharded.
-    # the mesh path requires valid to be passed (an explicit all-ones mask
-    # for full batches) so the arity matches the shardings.
-    return jax.jit(step, in_shardings=(rep, rep, rep, dat, dat, rep, dat))
+    # params/opt state/text features replicated; image/label/valid (and the
+    # SIE camera ids, when configured) sharded. the mesh path requires
+    # valid to be passed (an explicit all-ones mask for full batches) so
+    # the arity matches the shardings.
+    shardings = (rep, rep, rep, dat, dat, rep, dat)
+    if cfg.sie_ids > 0:
+        shardings = shardings + (dat,)
+    return jax.jit(step, in_shardings=shardings)
 
 
 def run_stage2(
@@ -466,15 +500,19 @@ def run_stage2(
         lr = S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
         opt_state = O.set_lr(opt_state, lr)
         losses = []
-        for images, labels, valid in epoch_batches(epoch):
+        for images, labels, valid, *rest in epoch_batches(epoch):
             if guard is not None:
                 guard.maybe_snapshot(gstep, trainable, frozen, opt_state)
-            images, labels, valid = place(
-                (images, labels, _as_device_array(valid))
+            extra = ()
+            if cfg.sie_ids > 0:  # camera ids ride as a trailing element
+                assert rest, "sie_ids > 0: batches must carry camera ids"
+                extra = (_as_device_array(rest[0]),)
+            images, labels, valid, *extra = place(
+                (images, labels, _as_device_array(valid)) + extra
             )
             trainable, frozen, opt_state, loss = step(
                 trainable, frozen, opt_state, images, labels, text_features,
-                valid,
+                valid, *extra,
             )
             gstep += 1
             lf = float(loss)
