@@ -37,6 +37,26 @@ def golden_cmc_map(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
     return cmc, float(np.mean(aps))
 
 
+def golden_minp(distmat, q_pids, g_pids, q_camids, g_camids):
+    """mINP (Ye et al., "Deep Learning for Person Re-Identification: A
+    Survey and Outlook", TPAMI'21): per valid query,
+    INP = num_positives / rank of the hardest (last) positive among kept
+    gallery entries; mINP = mean over valid queries."""
+    num_q = distmat.shape[0]
+    order = np.argsort(distmat, axis=1)
+    inps = []
+    for qi in range(num_q):
+        row = order[qi]
+        remove = (g_pids[row] == q_pids[qi]) & (g_camids[row] == q_camids[qi])
+        kept = ~remove
+        raw = (g_pids[row][kept] == q_pids[qi]).astype(np.int32)
+        if not raw.any():
+            continue
+        hardest_rank = np.max(np.nonzero(raw)[0]) + 1  # 1-indexed kept rank
+        inps.append(raw.sum() / hardest_rank)
+    return float(np.mean(inps))
+
+
 def golden_k_reciprocal(qf, gf, k1, k2, lambda_value):
     """Per-row-loop k-reciprocal re-ranking (Zhong et al. CVPR'17)."""
     qf = np.asarray(qf, np.float32)

@@ -176,3 +176,41 @@ def test_cmc_map_chunking_invariant():
     np.testing.assert_allclose(np.asarray(cmc_a), np.asarray(cmc_b),
                                atol=1e-6)
     assert abs(float(map_a) - float(map_b)) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_minp_matches_golden(seed):
+    """mINP (Ye et al. TPAMI'21 — a metric the reference protocol lacks)
+    matches the per-query-loop golden, is chunking-invariant, and rides
+    the same sufficient-statistics pass as CMC/mAP."""
+    from tests.golden import golden_minp
+
+    rng = np.random.default_rng(seed)
+    qf, gf, q_pids, g_pids, q_cams, g_cams = _random_reid_problem(rng)
+    dm = np.asarray(euclidean_distmat(qf, gf))
+    want = golden_minp(dm, q_pids, g_pids, q_cams, g_cams)
+    cmc, mAP, minp = cmc_map(dm, q_pids, g_pids, q_cams, g_cams, 10,
+                             with_minp=True)
+    assert abs(float(minp) - want) < 1e-5
+    # chunked tail path agrees
+    _, _, minp_c = cmc_map(dm, q_pids, g_pids, q_cams, g_cams, 10,
+                           q_chunk=7, with_minp=True)
+    assert abs(float(minp_c) - want) < 1e-5
+    assert 0.0 < float(minp) <= 1.0
+
+
+def test_evaluator_with_minp():
+    rng = np.random.default_rng(11)
+    qf, gf, q_pids, g_pids, q_cams, g_cams = _random_reid_problem(rng)
+    ev = Evaluator(num_query=len(q_pids), max_rank=10, with_minp=True)
+    ev.update(jnp.asarray(qf), q_pids, q_cams)
+    ev.update(jnp.asarray(gf), g_pids, g_cams)
+    cmc, mAP, minp = ev.compute()
+    from tests.golden import golden_minp
+
+    dm = np.asarray(euclidean_distmat(
+        np.asarray(l2_normalize(jnp.asarray(qf), axis=1)),
+        np.asarray(l2_normalize(jnp.asarray(gf), axis=1)),
+    ))
+    want = golden_minp(dm, q_pids, g_pids, q_cams, g_cams)
+    assert abs(minp - want) < 1e-5

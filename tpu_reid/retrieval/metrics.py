@@ -35,9 +35,12 @@ def _cmc_map_stats(
     q_camids: jax.Array,
     g_camids: jax.Array,
     max_rank: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-chunk sufficient statistics: (sum of AP over valid queries,
-    valid-query count, per-rank CMC hit counts)."""
+    valid-query count, per-rank CMC hit counts, sum of INP over valid
+    queries). INP (inverse negative penalty, Ye et al. TPAMI'21) =
+    num_positives / kept-rank of the HARDEST (last-ranked) positive —
+    a retrieval metric the reference protocol lacks."""
     order = jnp.argsort(distmat, axis=1)  # (Qc, G)
     g_pid_sorted = jnp.take(g_pids, order)
     g_cam_sorted = jnp.take(g_camids, order)
@@ -66,7 +69,13 @@ def _cmc_map_stats(
     ranks = jnp.arange(1, max_rank + 1)
     hits = (first_pos[:, None] <= ranks[None, :]) & valid[:, None]
     hit_counts = jnp.sum(hits.astype(jnp.float32), axis=0)
-    return ap_sum, valid_count, hit_counts
+
+    hardest_pos = jnp.max(jnp.where(good, kept_pos, 0), axis=1)  # (Qc,)
+    inp = num_rel.astype(jnp.float32) / jnp.maximum(
+        hardest_pos, 1
+    ).astype(jnp.float32)
+    inp_sum = jnp.sum(jnp.where(valid, inp, 0.0))
+    return ap_sum, valid_count, hit_counts, inp_sum
 
 
 def cmc_map_from_rows(
@@ -77,8 +86,10 @@ def cmc_map_from_rows(
     q_camids: jax.Array,
     g_camids: jax.Array,
     max_rank: int = 50,
-) -> tuple[jax.Array, jax.Array]:
-    """(cmc[max_rank], mAP) from lazily-produced distance rows.
+    with_minp: bool = False,
+):
+    """(cmc[max_rank], mAP) from lazily-produced distance rows —
+    (cmc, mAP, mINP) when with_minp.
 
     ``row_fn(start)`` must return the fp32 ``(q_chunk, num_g)`` distance
     block for queries [start, start+q_chunk); start walks multiples of
@@ -97,6 +108,7 @@ def cmc_map_from_rows(
 
     ap_sum = 0.0
     valid_count = 0.0
+    inp_sum = 0.0
     hit_counts = jnp.zeros((max_rank,), jnp.float32)
     for s in range(0, num_q, q_chunk):
         e = min(s + q_chunk, num_q)
@@ -112,12 +124,15 @@ def cmc_map_from_rows(
             )
         else:
             qp, qc = q_pids[s:e], q_camids[s:e]
-        a, v, h = _cmc_map_stats(dm, qp, g_pids, qc, g_camids, max_rank)
+        a, v, h, i = _cmc_map_stats(dm, qp, g_pids, qc, g_camids, max_rank)
         ap_sum = ap_sum + a
         valid_count = valid_count + v
         hit_counts = hit_counts + h
+        inp_sum = inp_sum + i
 
     denom = jnp.maximum(valid_count, 1.0)
+    if with_minp:
+        return hit_counts / denom, ap_sum / denom, inp_sum / denom
     return hit_counts / denom, ap_sum / denom
 
 
@@ -129,8 +144,10 @@ def cmc_map(
     g_camids: jax.Array,
     max_rank: int = 50,
     q_chunk: int = 2048,
-) -> tuple[jax.Array, jax.Array]:
-    """Compute (cmc[max_rank], mAP) on device, chunked over queries.
+    with_minp: bool = False,
+):
+    """Compute (cmc[max_rank], mAP) on device, chunked over queries —
+    (cmc, mAP, mINP) when with_minp.
 
     Vectorized equivalent of the reference loop (evaluate.py:29-88). Each
     query's statistics are independent, so the (Q, G) sort never exists in
@@ -150,7 +167,8 @@ def cmc_map(
         return blk
 
     return cmc_map_from_rows(
-        rows, step, q_pids, g_pids, q_camids, g_camids, max_rank=max_rank
+        rows, step, q_pids, g_pids, q_camids, g_camids, max_rank=max_rank,
+        with_minp=with_minp,
     )
 
 
@@ -172,12 +190,16 @@ class Evaluator:
         rerank_params: tuple[int, int, float] = (50, 15, 0.3),
         rerank_mode: str = "auto",
         mesh=None,
+        with_minp: bool = False,
     ):
         self.num_query = num_query
         self.max_rank = max_rank
         self.feat_norm = feat_norm
         self.reranking = reranking
         self.rerank_params = rerank_params
+        # also report mINP (mean inverse negative penalty, Ye et al.
+        # TPAMI'21) — compute() then returns (cmc, mAP, mINP)
+        self.with_minp = with_minp
         # multi-device mesh for the streamed re-rank: shards every pass's
         # rows and the gallery-side V_qe over the "data" axis
         # (rerank_stream._streamed_core_sharded); ignored by other modes
@@ -203,7 +225,8 @@ class Evaluator:
         self._pids.append(np.asarray(pid))
         self._camids.append(np.asarray(camid))
 
-    def compute(self) -> tuple[np.ndarray, float]:
+    def compute(self):
+        """(cmc, mAP), or (cmc, mAP, mINP) when with_minp."""
         feats = jnp.concatenate(self._feats, axis=0)
         # release the per-batch buffers: at MSMT17 scale they pin an extra
         # ~0.5GB of HBM next to the re-ranking working set
@@ -246,13 +269,15 @@ class Evaluator:
                 row_fn, q_chunk = k_reciprocal_rerank_streamed_rows(
                     qf, gf, k1=k1, k2=k2, lambda_value=lam, mesh=self.mesh
                 )
-                cmc, mean_ap = cmc_map_from_rows(
+                out = cmc_map_from_rows(
                     row_fn, q_chunk,
                     jnp.asarray(q_pids), jnp.asarray(g_pids),
                     jnp.asarray(q_camids), jnp.asarray(g_camids),
-                    max_rank=self.max_rank,
+                    max_rank=self.max_rank, with_minp=self.with_minp,
                 )
-                return np.asarray(cmc), float(mean_ap)
+                if self.with_minp:
+                    return np.asarray(out[0]), float(out[1]), float(out[2])
+                return np.asarray(out[0]), float(out[1])
             else:
                 distmat = k_reciprocal_rerank_sharded(
                     qf, gf, k1=k1, k2=k2, lambda_value=lam
@@ -260,12 +285,15 @@ class Evaluator:
         else:
             distmat = euclidean_distmat(qf, gf)
 
-        cmc, mean_ap = cmc_map(
+        out = cmc_map(
             distmat,
             jnp.asarray(q_pids),
             jnp.asarray(g_pids),
             jnp.asarray(q_camids),
             jnp.asarray(g_camids),
             max_rank=self.max_rank,
+            with_minp=self.with_minp,
         )
-        return np.asarray(cmc), float(mean_ap)
+        if self.with_minp:
+            return np.asarray(out[0]), float(out[1]), float(out[2])
+        return np.asarray(out[0]), float(out[1])
