@@ -402,19 +402,19 @@ def main():
             mesh=mesh,
         )
         ev = Evaluator(num_query=len(q_pids), max_rank=20, feat_norm=True,
-                       reranking=args.rerank, mesh=mesh)
+                       reranking=args.rerank, mesh=mesh, with_minp=True)
         ev.update(q_feats, q_pids, q_cams)
         ev.update(g_feats, g_pids, g_cams)
-        cmc, mAP = ev.compute()
+        cmc, mAP, mINP = ev.compute()
 
     def rank(k):
         return float(cmc[min(k - 1, len(cmc) - 1)])
 
     log.log("result", mAP=float(mAP), rank1=rank(1), rank5=rank(5),
-            rank10=rank(10))
+            rank10=rank(10), mINP=float(mINP))
     print(
         f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
-        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}"
+        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}, mINP: {mINP:.4f}"
     )
     return cmc, mAP
 

@@ -156,22 +156,22 @@ def main():
     del extractor, params, xtr_params, sd
 
     with log.phase("evaluate"):
-        cmc, mAP = Z.evaluate_zero_shot(
+        cmc, mAP, mINP = Z.evaluate_zero_shot(
             q_feats, g_feats, q_pids, g_pids, q_cams, g_cams,
             zs_weights=zs_weights, proj_dim=cfg.embed_dim,
             multimodal=args.mm, max_rank=50, reranking=args.rerank,
-            mesh=mesh,
+            mesh=mesh, with_minp=True,
         )
     def rank(k):  # gallery may be smaller than max_rank
         return float(cmc[min(k - 1, len(cmc) - 1)])
 
     log.log(
         "result", mAP=float(mAP),
-        rank1=rank(1), rank5=rank(5), rank10=rank(10),
+        rank1=rank(1), rank5=rank(5), rank10=rank(10), mINP=float(mINP),
     )
     print(
         f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
-        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}"
+        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}, mINP: {mINP:.4f}"
     )
     return cmc, mAP
 

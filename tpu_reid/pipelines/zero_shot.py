@@ -136,8 +136,10 @@ def evaluate_zero_shot(
     max_rank: int = 50,
     reranking: bool = False,
     mesh=None,
-) -> Tuple[np.ndarray, float]:
-    """Final ranking: optional mm transform, then CMC/mAP on device."""
+    with_minp: bool = False,
+):
+    """Final ranking: optional mm transform, then CMC/mAP on device.
+    Returns (cmc, mAP), or (cmc, mAP, mINP) when with_minp."""
     if multimodal:
         assert zs_weights is not None
         query_feats = mm_embeddings(query_feats, proj_dim, zs_weights)
@@ -148,6 +150,7 @@ def evaluate_zero_shot(
         feat_norm=True,
         reranking=reranking,
         mesh=mesh,
+        with_minp=with_minp,
     )
     ev.update(query_feats, q_pids, q_camids)
     ev.update(gallery_feats, g_pids, g_camids)
