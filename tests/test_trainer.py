@@ -304,6 +304,45 @@ def test_sharded_stage2_step_8dev():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_stage2_step_sie_8dev():
+    """SIE camera ids shard with the batch: the mesh step's loss and
+    updated params equal the single-device step's (global-batch
+    semantics hold with the extra cv_ids argument)."""
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mcfg, params = tiny_model("coop", sie_ids=4)
+    mesh = make_mesh()
+    tcfg = TR.TrainConfig()
+    text_features = M.all_class_text_features(params, mcfg)
+    trainable, frozen = O.partition(
+        params, lambda p: M.stage2_trainable(p, mcfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage2, bias_lr_mult=2.0)
+    opt_state = optimizer.init(trainable)
+    images, labels, _ = fake_batches(1, bs=16)[0]
+    cams = jnp.asarray(np.random.RandomState(2).randint(0, 4, 16), jnp.int32)
+
+    step = TR.make_stage2_step(mcfg, tcfg, optimizer, mesh=mesh)
+    t2, _, _, loss = step(
+        replicate(mesh, trainable), replicate(mesh, frozen),
+        replicate(mesh, opt_state),
+        shard_batch(mesh, images), shard_batch(mesh, labels),
+        replicate(mesh, text_features),
+        shard_batch(mesh, jnp.ones((16,), bool)),
+        shard_batch(mesh, cams),
+    )
+    step1 = TR.make_stage2_step(mcfg, tcfg, optimizer)
+    t1, _, _, loss1 = step1(
+        trainable, frozen, optimizer.init(trainable), images, labels,
+        text_features, jnp.ones((16,), bool), cams,
+    )
+    assert abs(float(loss) - float(loss1)) < 1e-4
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # the SIE table itself received a (matching) update on both paths
+    assert not leaves_equal(t1["sie_embed"], trainable["sie_embed"])
+
+
 def test_maple_mode():
     """MaPLe: shared text ctx + deeper prompts projected into the vision
     tower; coupling params train in stage 1 and freeze in stage 2."""
