@@ -253,6 +253,37 @@ def test_prompt_learning_cli_augmented_prompts(assets, monkeypatch, tmp_path):
     assert 0.0 <= mAP <= 1.0
 
 
+def test_prompt_learning_cli_eval_every(assets, monkeypatch, tmp_path):
+    """--eval_every N: full retrieval evaluation mid-training (stage 2),
+    recorded in the JSONL metric log — training-time evaluation cadence
+    the reference lacks (it evaluates only once, at the end)."""
+    import json
+
+    from tpu_reid.cli import prompt_learning as cli
+
+    log_dir = tmp_path / "logs"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "2",
+         "--training_mode", "coop", "--eval_every", "1",
+         "--log_dir", str(log_dir),
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+    recs = [json.loads(ln) for ln in
+            (log_dir / "metrics.jsonl").read_text().splitlines()]
+    evals = [r for r in recs if r["event"] == "eval"]
+    # epoch 1 of 2 evaluates mid-training; epoch 2 is the final test pass
+    assert [e["stage2_epoch"] for e in evals] == [1]
+    assert 0.0 <= evals[0]["mAP"] <= 1.0 and 0.0 <= evals[0]["mINP"] <= 1.0
+
+
 def test_prompt_learning_cli_jpm(assets, monkeypatch, tmp_path):
     """--jpm: two-stage training + eval with the TransReID jigsaw-patch
     branch wired in as a 4th feature level (the reference defines the JPM

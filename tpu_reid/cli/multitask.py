@@ -388,6 +388,10 @@ def main():
         task = 0 if args.test_dataset == args.train_dataset else 1
         embed = lambda p, im: MT.eval_embed_mt(p, mcfg, task, im)
 
+    # drain the async checkpoint writer before the process can exit (an
+    # in-flight orbax commit racing interpreter shutdown raises)
+    mgr.close()
+
     with log.phase("test"):
         test_ds = get_dataset(args.root, args.test_dataset)
         pp = pp1 if args.test_dataset == args.train_dataset else pp2

@@ -88,6 +88,13 @@ def params_parser():
                         "is the TPU counterpart of the reference's fp16 AMP "
                         "(prompt_learning.py:404,450-453) and engages the "
                         "fused Pallas block path")
+    p.add_argument("--eval_every", default=0, type=int,
+                   help="evaluate retrieval (CMC/mAP/mINP on the test "
+                        "dataset) every N stage-2 epochs and record it in "
+                        "the metric log. 0 = only the final evaluation, as "
+                        "the reference does. Stage 1 is excluded: it trains "
+                        "text prompts only, which the image-embedding "
+                        "retrieval metric cannot see")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
@@ -403,6 +410,60 @@ def main():
 
     cb = lambda stage, step_of: two_stage_cb(mgr, stage, step_of)  # noqa: E731
 
+    # full retrieval evaluation on the test split; shared by the periodic
+    # (--eval_every) and the final passes — extractor/dataset built once
+    _eval_state: dict = {}
+
+    def evaluate(eval_params):
+        if not _eval_state:
+            _eval_state["ds"] = get_dataset(args.root, args.test_dataset)
+            if n_sie:
+                # SIE applies at inference too (ids past the training
+                # range clamp to the last embedding row inside the model)
+                _eval_state["xtr"] = make_extractor(
+                    lambda p, im, cv: M.eval_embed(p, mcfg, im, cv_ids=cv),
+                    pp, flip_tta=True, mesh=mesh, with_cv_ids=True,
+                )
+            else:
+                _eval_state["xtr"] = make_extractor(
+                    lambda p, im: M.eval_embed(p, mcfg, im),
+                    pp, flip_tta=True, mesh=mesh,
+                )
+        test_ds, extractor = _eval_state["ds"], _eval_state["xtr"]
+        g_feats, g_pids, g_cams, _ = extract_embeddings(
+            extractor, eval_params,
+            BatchLoader(test_ds.gallery, args.bs, (h, w)),
+            mesh=mesh, cv_ids_of=sie_ids_of,
+        )
+        q_feats, q_pids, q_cams, _ = extract_embeddings(
+            extractor, eval_params,
+            BatchLoader(test_ds.query, args.bs, (h, w)),
+            mesh=mesh, cv_ids_of=sie_ids_of,
+        )
+        ev = Evaluator(
+            num_query=len(q_pids), max_rank=10, feat_norm=True,
+            reranking=args.rerank, mesh=mesh, with_minp=True,
+        )
+        ev.update(q_feats, q_pids, q_cams)
+        ev.update(g_feats, g_pids, g_cams)
+        return ev.compute()
+
+    def stage2_cb():
+        inner = cb(1, lambda e: args.epochs_stage1 + e)
+        if not args.eval_every:
+            return inner
+
+        def cb_with_eval(epoch, p, state):
+            inner(epoch, p, state)
+            done = epoch + 1  # run_stage2 epochs are 0-based
+            if done % args.eval_every == 0 and done < args.epochs_stage2:
+                with log.phase("eval"):
+                    c, m, i_ = evaluate(p)
+                log.log("eval", stage2_epoch=done, mAP=float(m),
+                        rank1=float(c[0]), mINP=float(i_))
+
+        return cb_with_eval
+
     if done_stage < 1:
         with log.phase("stage1"):
             params = TR.run_stage1(
@@ -420,42 +481,19 @@ def main():
                 params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
                 mesh=mesh, guard=make_guard(),
                 log=lambda s: log.log("train", msg=s),
-                checkpoint_cb=cb(1, lambda e: args.epochs_stage1 + e), **kw2,
+                checkpoint_cb=stage2_cb(), **kw2,
             )
             mgr.save(
                 args.epochs_stage1 + args.epochs_stage2,
                 {"params": params, "stage": 2, "epoch_in_stage": -1},
             )
+    # drain the async checkpoint writer before the process can exit —
+    # an in-flight orbax commit racing interpreter shutdown dies with
+    # "cannot schedule new futures after shutdown"
+    mgr.close()
 
     with log.phase("test"):
-        test_ds = get_dataset(args.root, args.test_dataset)
-        if n_sie:
-            # SIE applies at inference too (ids past the training range
-            # clamp to the last embedding row inside the model)
-            extractor = make_extractor(
-                lambda p, im, cv: M.eval_embed(p, mcfg, im, cv_ids=cv),
-                pp, flip_tta=True, mesh=mesh, with_cv_ids=True,
-            )
-        else:
-            extractor = make_extractor(
-                lambda p, im: M.eval_embed(p, mcfg, im), pp, flip_tta=True,
-                mesh=mesh,
-            )
-        g_feats, g_pids, g_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w)),
-            mesh=mesh, cv_ids_of=sie_ids_of,
-        )
-        q_feats, q_pids, q_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w)),
-            mesh=mesh, cv_ids_of=sie_ids_of,
-        )
-        ev = Evaluator(
-            num_query=len(q_pids), max_rank=10, feat_norm=True,
-            reranking=args.rerank, mesh=mesh, with_minp=True,
-        )
-        ev.update(q_feats, q_pids, q_cams)
-        ev.update(g_feats, g_pids, g_cams)
-        cmc, mAP, mINP = ev.compute()
+        cmc, mAP, mINP = evaluate(params)
     def rank(k):  # gallery may be smaller than max_rank
         return float(cmc[min(k - 1, len(cmc) - 1)])
 
