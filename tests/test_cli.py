@@ -270,7 +270,7 @@ def test_prompt_learning_cli_eval_every(assets, monkeypatch, tmp_path):
          "--bpe_path", assets["merges"],
          "--height", "32", "--stride", "8", "--bs", "8",
          "--epochs_stage1", "1", "--epochs_stage2", "2",
-         "--training_mode", "coop", "--eval_every", "1",
+         "--training_mode", "coop", "--eval_every", "1", "--keep_best",
          "--log_dir", str(log_dir),
          "--save_path", str(tmp_path / "ckpts")],
     )
@@ -282,6 +282,22 @@ def test_prompt_learning_cli_eval_every(assets, monkeypatch, tmp_path):
     # epoch 1 of 2 evaluates mid-training; epoch 2 is the final test pass
     assert [e["stage2_epoch"] for e in evals] == [1]
     assert 0.0 <= evals[0]["mAP"] <= 1.0 and 0.0 <= evals[0]["mINP"] <= 1.0
+    # --keep_best: the best-mAP params live under .../best and carry the
+    # winning epoch + mAP
+    bests = [r for r in recs if r["event"] == "best"]
+    assert bests and bests[-1]["mAP"] == max(
+        [e["mAP"] for e in evals] + [mAP]
+    )
+    from tpu_reid.runtime.checkpoint import CheckpointManager
+
+    bmgr = CheckpointManager(
+        str(tmp_path / "ckpts" / "coop" / "market1501" / "best"),
+        save_interval=1,
+    )
+    payload = bmgr.restore()
+    assert abs(payload["mAP"] - bests[-1]["mAP"]) < 1e-9
+    assert "params" in payload
+    bmgr.close()
 
 
 def test_prompt_learning_cli_jpm(assets, monkeypatch, tmp_path):

@@ -95,6 +95,10 @@ def params_parser():
                         "the reference does. Stage 1 is excluded: it trains "
                         "text prompts only, which the image-embedding "
                         "retrieval metric cannot see")
+    p.add_argument("--keep_best", action="store_true",
+                   help="with --eval_every: keep the best-mAP parameters "
+                        "seen at any evaluation (periodic or final) under "
+                        "<save_path>/<mode>/<dataset>/best")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
@@ -410,6 +414,25 @@ def main():
 
     cb = lambda stage, step_of: two_stage_cb(mgr, stage, step_of)  # noqa: E731
 
+    # best is chosen among evaluated checkpoints: every --eval_every
+    # epochs plus the final test pass (without --eval_every it reduces to
+    # the final parameters)
+    best_mgr = (
+        CheckpointManager(os.path.join(ckpt_dir, "best"), max_to_keep=1,
+                          save_interval=1)
+        if args.keep_best else None
+    )
+    _best = {"mAP": -1.0}
+
+    def maybe_keep_best(epoch_label: int, p, m: float):
+        if best_mgr is not None and m > _best["mAP"]:
+            _best["mAP"] = m
+            best_mgr.save(
+                epoch_label,
+                {"params": p, "mAP": float(m), "epoch": epoch_label},
+            )
+            log.log("best", epoch=epoch_label, mAP=float(m))
+
     # full retrieval evaluation on the test split; shared by the periodic
     # (--eval_every) and the final passes — extractor/dataset built once
     _eval_state: dict = {}
@@ -461,6 +484,7 @@ def main():
                     c, m, i_ = evaluate(p)
                 log.log("eval", stage2_epoch=done, mAP=float(m),
                         rank1=float(c[0]), mINP=float(i_))
+                maybe_keep_best(done, p, float(m))
 
         return cb_with_eval
 
@@ -494,6 +518,9 @@ def main():
 
     with log.phase("test"):
         cmc, mAP, mINP = evaluate(params)
+    maybe_keep_best(args.epochs_stage2, params, float(mAP))
+    if best_mgr is not None:
+        best_mgr.close()
     def rank(k):  # gallery may be smaller than max_rank
         return float(cmc[min(k - 1, len(cmc) - 1)])
 
