@@ -200,10 +200,24 @@ def test_multitask_cli_hard(tmp_path, monkeypatch):
         ["multitask", "--root", str(root),
          "--model_path", ckpt, "--bpe_path", merges,
          "--variant", "hard", "--height", "32", "--stride", "8",
-         "--bs", "8", "--epochs_stage1", "1", "--epochs_stage2", "1"],
+         "--bs", "8", "--epochs_stage1", "1", "--epochs_stage2", "2",
+         "--eval_every", "1", "--keep_best",
+         "--log_dir", str(root / "logs"),
+         "--save_path", str(root / "ck")],
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+    # --eval_every / --keep_best runtime features work on multitask too
+    import json
+
+    recs = [json.loads(ln) for ln in
+            (root / "logs" / "metrics.jsonl").read_text().splitlines()]
+    evals = [r for r in recs if r["event"] == "eval"]
+    assert [e["stage2_epoch"] for e in evals] == [1]
+    bests = [r for r in recs if r["event"] == "best"]
+    assert bests and bests[-1]["mAP"] == max(
+        [e["mAP"] for e in evals] + [mAP]
+    )
 
 
 def test_multitask_cli_soft(tmp_path, monkeypatch):

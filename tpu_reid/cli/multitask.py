@@ -52,6 +52,13 @@ def params_parser():
     p.add_argument("--train_dataset_multitask", default="dukemtmc", type=str)
     p.add_argument("--test_dataset", default=None, type=str)
     p.add_argument("--save_path", default="./checkpoints", type=str)
+    p.add_argument("--eval_every", default=0, type=int,
+                   help="evaluate retrieval on the test dataset every N "
+                        "stage-2 epochs and record it in the metric log "
+                        "(0 = final evaluation only)")
+    p.add_argument("--keep_best", action="store_true",
+                   help="keep the best-mAP parameters among evaluated "
+                        "checkpoints under <save_path>/.../best")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
@@ -175,6 +182,73 @@ def main():
 
     stage_cb = lambda stage, step_of: two_stage_cb(mgr, stage, step_of)  # noqa: E731
 
+    # --eval_every / --keep_best (same runtime features as the single-task
+    # CLI): full retrieval evaluation on the test split, shared by the
+    # periodic and final passes. The variant branch fills _eval_state["embed"]
+    # before its stage-2 run.
+    best_mgr = (
+        CheckpointManager(os.path.join(ckpt_dir, "best"), max_to_keep=1,
+                          save_interval=1)
+        if args.keep_best else None
+    )
+    _best = {"mAP": -1.0}
+
+    def maybe_keep_best(epoch_label: int, p, m: float):
+        if best_mgr is not None and m > _best["mAP"]:
+            _best["mAP"] = m
+            best_mgr.save(
+                epoch_label,
+                {"params": p, "mAP": float(m), "epoch": epoch_label},
+            )
+            log.log("best", epoch=epoch_label, mAP=float(m))
+
+    _eval_state: dict = {}
+
+    def evaluate(eval_params):
+        if "xtr" not in _eval_state:
+            _eval_state["ds"] = get_dataset(args.root, args.test_dataset)
+            _eval_state["pp"] = (
+                pp1 if args.test_dataset == args.train_dataset else pp2
+            )
+            _eval_state["xtr"] = make_extractor(
+                _eval_state["embed"], _eval_state["pp"], flip_tta=True,
+                mesh=mesh,
+            )
+        test_ds, pp, extractor = (
+            _eval_state["ds"], _eval_state["pp"], _eval_state["xtr"]
+        )
+        h, w = pp.size_hw
+        g_feats, g_pids, g_cams, _ = extract_embeddings(
+            extractor, eval_params,
+            BatchLoader(test_ds.gallery, args.bs, (h, w)), mesh=mesh,
+        )
+        q_feats, q_pids, q_cams, _ = extract_embeddings(
+            extractor, eval_params,
+            BatchLoader(test_ds.query, args.bs, (h, w)), mesh=mesh,
+        )
+        ev = Evaluator(num_query=len(q_pids), max_rank=20, feat_norm=True,
+                       reranking=args.rerank, mesh=mesh, with_minp=True)
+        ev.update(q_feats, q_pids, q_cams)
+        ev.update(g_feats, g_pids, g_cams)
+        return ev.compute()
+
+    def stage2_cb():
+        inner = stage_cb(1, lambda e: args.epochs_stage1 + e)
+        if not args.eval_every:
+            return inner
+
+        def cb_with_eval(epoch, p, state):
+            inner(epoch, p, state)
+            done = epoch + 1  # stage-2 epochs are 0-based
+            if done % args.eval_every == 0 and done < args.epochs_stage2:
+                with log.phase("eval"):
+                    c, m, i_ = evaluate(p)
+                log.log("eval", stage2_epoch=done, mAP=float(m),
+                        rank1=float(c[0]), mINP=float(i_))
+                maybe_keep_best(done, p, float(m))
+
+        return cb_with_eval
+
     def setup_resume(params, s1_tmpl, s2_tmpl, gpa1_used, gpa2_used,
                      xbm_tmpl=None):
         if not args.resume:
@@ -284,21 +358,19 @@ def main():
                 )
                 mgr.save(args.epochs_stage1,
                          {"params": params, "stage": 1, "epoch_in_stage": -1})
+        _eval_state["embed"] = lambda p, im: M.eval_embed(p, mcfg, im)
         if done_stage < 2:
             with log.phase("stage2"):
                 params = TR.run_stage2(
                     params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
                     mesh=mesh, guard=make_guard(),
-                    checkpoint_cb=stage_cb(
-                        1, lambda e: args.epochs_stage1 + e
-                    ),
+                    checkpoint_cb=stage2_cb(),
                     log=lambda s: log.log("train", msg=s), **kw2,
                 )
                 mgr.save(
                     args.epochs_stage1 + args.epochs_stage2,
                     {"params": params, "stage": 2, "epoch_in_stage": -1},
                 )
-        embed = lambda p, im: M.eval_embed(p, mcfg, im)
     else:
         mk_prompt = (P.PromptLearnerConfig.ivlp if ivlp
                      else P.PromptLearnerConfig.coop)
@@ -371,45 +443,30 @@ def main():
                 )
                 mgr.save(args.epochs_stage1,
                          {"params": params, "stage": 1, "epoch_in_stage": -1})
+        task = 0 if args.test_dataset == args.train_dataset else 1
+        _eval_state["embed"] = lambda p, im: MT.eval_embed_mt(p, mcfg, task, im)
         if done_stage < 2:
             with log.phase("stage2"):
                 params = MT.run_mt_stage2(
                     params, mcfg, tcfg, s2, epochs=args.epochs_stage2,
                     mesh=mesh, xbm_capacity=2 * args.bs, guard=make_guard(),
-                    checkpoint_cb=stage_cb(
-                        1, lambda e: args.epochs_stage1 + e
-                    ),
+                    checkpoint_cb=stage2_cb(),
                     log=lambda s: log.log("train", msg=s), **kw2,
                 )
                 mgr.save(
                     args.epochs_stage1 + args.epochs_stage2,
                     {"params": params, "stage": 2, "epoch_in_stage": -1},
                 )
-        task = 0 if args.test_dataset == args.train_dataset else 1
-        embed = lambda p, im: MT.eval_embed_mt(p, mcfg, task, im)
 
     # drain the async checkpoint writer before the process can exit (an
     # in-flight orbax commit racing interpreter shutdown raises)
     mgr.close()
 
     with log.phase("test"):
-        test_ds = get_dataset(args.root, args.test_dataset)
-        pp = pp1 if args.test_dataset == args.train_dataset else pp2
-        h, w = pp.size_hw
-        extractor = make_extractor(embed, pp, flip_tta=True, mesh=mesh)
-        g_feats, g_pids, g_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.gallery, args.bs, (h, w)),
-            mesh=mesh,
-        )
-        q_feats, q_pids, q_cams, _ = extract_embeddings(
-            extractor, params, BatchLoader(test_ds.query, args.bs, (h, w)),
-            mesh=mesh,
-        )
-        ev = Evaluator(num_query=len(q_pids), max_rank=20, feat_norm=True,
-                       reranking=args.rerank, mesh=mesh, with_minp=True)
-        ev.update(q_feats, q_pids, q_cams)
-        ev.update(g_feats, g_pids, g_cams)
-        cmc, mAP, mINP = ev.compute()
+        cmc, mAP, mINP = evaluate(params)
+    maybe_keep_best(args.epochs_stage2, params, float(mAP))
+    if best_mgr is not None:
+        best_mgr.close()
 
     def rank(k):
         return float(cmc[min(k - 1, len(cmc) - 1)])
