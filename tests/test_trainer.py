@@ -257,6 +257,40 @@ def test_sie_camera_embedding():
     assert leaves_equal(s1["sie_embed"], params["sie_embed"])
 
 
+def test_jpm_sie_compose():
+    """--jpm and --sie_camera compose: the SIE offset feeds the CLS token
+    the jigsaw branch re-processes, and stage-2 trains both additions in
+    one step."""
+    mcfg, params = tiny_model("coop", use_jpm=True, sie_ids=3)
+    images = jnp.asarray(np.random.RandomState(4).randn(4, 32, 16, 3),
+                         jnp.float32)
+    cv = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    out = M.forward_train(params, mcfg, images, train=True, cv_ids=cv)
+    assert len(out["cls_scores"]) == 3 and len(out["features"]) == 4
+    emb = M.eval_embed(params, mcfg, images, cv_ids=cv)
+    assert emb.shape == (4, 64 + 32 + 64)
+    # the camera id reaches the jigsaw branch too (JPM consumes the CLS
+    # token the SIE offset shifted)
+    emb2 = M.eval_embed(params, mcfg, images,
+                        cv_ids=jnp.asarray([1, 0, 0, 1], jnp.int32))
+    jpm_slice = np.asarray(emb[:, 96:]), np.asarray(emb2[:, 96:])
+    assert not np.allclose(*jpm_slice, atol=1e-4)
+
+    def batches(n=2, bs=8):
+        rng = np.random.RandomState(1)
+        return [(jnp.asarray(rng.randn(bs, 32, 16, 3).astype(np.float32)),
+                 jnp.asarray(np.repeat(rng.choice(6, bs // 4, False), 4)),
+                 np.ones(bs, bool),
+                 jnp.asarray(rng.randint(0, 3, bs), jnp.int32))
+                for _ in range(n)]
+
+    out = TR.run_stage2(params, mcfg, TR.TrainConfig(),
+                        lambda e: iter(batches()), epochs=1,
+                        log=lambda s: None)
+    assert not leaves_equal(out["jpm"], params["jpm"])
+    assert not leaves_equal(out["sie_embed"], params["sie_embed"])
+
+
 def test_stage1_loss_decreases():
     mcfg, params = tiny_model("coop")
     batches = fake_batches(n_batches=2, bs=16)
