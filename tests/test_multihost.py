@@ -1,0 +1,184 @@
+"""Multi-host extraction tests (parallel/multihost.py).
+
+The e2e test runs TWO real OS processes, each with 2 virtual CPU devices,
+joined into one 4-device global mesh via jax.distributed (gloo
+collectives) — the same process topology as a 2-host TPU pod slice. Both
+hosts must produce identical results, and those must match the
+single-process sweep over the same dataset.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_host_slice_records_partition():
+    from tpu_reid.parallel.multihost import host_slice_records
+
+    records = [(f"p{i}", i, i % 5, 0, i) for i in range(13)]
+    B, nproc = 6, 3
+    per_host = B // nproc
+    slices = [host_slice_records(records, B, p, nproc) for p in range(nproc)]
+    n_valid, nb = slices[0][1], slices[0][2]
+    assert n_valid == 13 and nb == 3
+    assert all(s[1:] == (n_valid, nb) for s in slices)
+    # reassembling the per-host streams in mesh order must reproduce the
+    # wrap-around-padded global order
+    padded = records + records[: nb * B - len(records)]
+    rebuilt = [None] * (nb * B)
+    for p, (host_records, _, _) in enumerate(slices):
+        assert len(host_records) == nb * per_host
+        for i in range(nb):
+            for j in range(per_host):
+                rebuilt[i * B + p * per_host + j] = host_records[
+                    i * per_host + j
+                ]
+    assert rebuilt == padded
+
+
+def test_host_slice_records_exact_fit():
+    from tpu_reid.parallel.multihost import host_slice_records
+
+    records = list(range(8))
+    h0, n, nb = host_slice_records(records, 4, 0, 2)
+    h1, _, _ = host_slice_records(records, 4, 1, 2)
+    assert (n, nb) == (8, 2)
+    assert h0 == [0, 1, 4, 5] and h1 == [2, 3, 6, 7]
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    """Market-1501-layout synthetic dataset + tiny CLIP checkpoint."""
+    import torch
+    from PIL import Image
+
+    import tests.torch_oracle as oracle
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path_factory.mktemp("mh")
+    base = root / "Market1501"
+    rng = np.random.RandomState(0)
+    for sub in ("bounding_box_train", "query", "bounding_box_test"):
+        (base / sub).mkdir(parents=True)
+    for pid, cam in [(1, 1), (2, 2), (3, 3)]:
+        Image.fromarray(
+            rng.randint(0, 255, (64, 32, 3), np.uint8)
+        ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_000000_00.jpg")
+        Image.fromarray(
+            rng.randint(0, 255, (64, 32, 3), np.uint8)
+        ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
+        # 3 gallery images per id -> 9 total: NOT a multiple of the global
+        # batch 4, so the wrap-around padding path is exercised
+        for k in range(3):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(
+                base / "bounding_box_test"
+                / f"{pid:04d}_c{1 + (k + pid) % 3}s1_{k:06d}_00.jpg"
+            )
+
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny_clip.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    merges = str(root / "merges.txt.gz")
+    write_test_merges(merges, [("p", "h"), ("ph", "o"), ("o", "f</w>")])
+    return {"root": str(root), "ckpt": ckpt, "merges": merges}
+
+
+def _cli_argv(assets, extra):
+    return [
+        "--root", assets["root"],
+        "--model_path", assets["ckpt"],
+        "--bpe_path", assets["merges"],
+        "--height", "32", "--stride", "8", "--bs", "4",
+        "--test_dataset", "market1501",
+    ] + extra
+
+
+def _spawn_host(assets, port, host_id, n_hosts, log_dir, n_local_devices=2):
+    """One CLI process with its own n-device CPU backend, joined to the
+    coordinator — free of this pytest process's jax state and of any
+    accelerator plugin."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("AXON", "PALLAS_AXON", "TPU_", "_AXON"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+    )
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO] + [
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and os.path.basename(p.rstrip("/")) != ".axon_site"
+        ]
+    )
+    cmd = [sys.executable, "-m", "tpu_reid.cli.zero_shot"] + _cli_argv(
+        assets,
+        ["--multihost", f"127.0.0.1:{port}",
+         "--num_hosts", str(n_hosts), "--host_id", str(host_id),
+         "--log_dir", log_dir],
+    )
+    return subprocess.Popen(
+        cmd, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+def _result_of(log_dir):
+    with open(os.path.join(log_dir, "metrics.jsonl")) as fh:
+        events = [json.loads(line) for line in fh]
+    results = [e for e in events if e["event"] == "result"]
+    assert len(results) == 1
+    return results[0]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_multihost_cli_matches_single_process(assets, tmp_path, monkeypatch):
+    port = _free_port()
+    logs = [str(tmp_path / f"host{i}") for i in range(2)]
+    procs = [_spawn_host(assets, port, i, 2, logs[i]) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"host process failed:\n{out[-4000:]}"
+
+    r0, r1 = _result_of(logs[0]), _result_of(logs[1])
+    # every host computes the tail on the same all-gathered features
+    for key in ("mAP", "rank1", "rank5", "rank10", "mINP"):
+        assert r0[key] == r1[key], (key, r0, r1)
+    assert r0["host"] == 0 and r1["host"] == 1
+
+    # single-process reference sweep (this pytest process's 8-device CPU
+    # backend, no mesh) over the same dataset + checkpoint
+    from tpu_reid.cli import zero_shot as cli
+
+    monkeypatch.setattr(sys, "argv", ["zero_shot"] + _cli_argv(assets, []))
+    cmc, mAP = cli.main()
+    assert abs(r0["mAP"] - float(mAP)) < 1e-5, (r0["mAP"], float(mAP))
+    assert abs(r0["rank1"] - float(cmc[0])) < 1e-5

@@ -48,6 +48,17 @@ def params_parser():
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel width of the ViT tower over the "
                         "'model' mesh axis (total devices = devices * tp)")
+    p.add_argument("--multihost", default=None, type=str, metavar="HOST:PORT",
+                   help="multi-host extraction: coordinator address for "
+                        "jax.distributed (run one process per host with "
+                        "--num_hosts/--host_id; each host decodes only the "
+                        "batch rows its own chips consume, features are "
+                        "all-gathered once, the retrieval tail runs "
+                        "identically on every host)")
+    p.add_argument("--num_hosts", default=1, type=int,
+                   help="with --multihost: total number of processes")
+    p.add_argument("--host_id", default=0, type=int,
+                   help="with --multihost: this process's index")
     p.add_argument("--no_flip_tta", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
     return p.parse_args()
@@ -55,6 +66,15 @@ def params_parser():
 
 def main():
     args = params_parser()
+    host_id = 0
+    if args.multihost:
+        # must join the distributed runtime before anything touches a
+        # device; after this jax.devices() spans every host
+        from tpu_reid.parallel.multihost import init_distributed
+
+        host_id, _ = init_distributed(
+            args.multihost, args.num_hosts, args.host_id
+        )
     import jax.numpy as jnp
 
     from tpu_reid.configs import PromptDesign
@@ -107,7 +127,17 @@ def main():
         )
 
     mesh = None
-    if args.devices > 1 or args.tp > 1:
+    if args.multihost:
+        import jax
+
+        from tpu_reid.parallel.mesh import make_mesh
+
+        assert args.tp == 1, "--multihost shards the batch axis only"
+        n_data = len(jax.devices())
+        assert args.bs % n_data == 0, \
+            f"--bs {args.bs} must divide by the {n_data} global devices"
+        mesh = make_mesh(n_data=n_data)
+    elif args.devices > 1 or args.tp > 1:
         from tpu_reid.parallel.mesh import make_mesh
 
         assert args.bs % args.devices == 0, \
@@ -139,16 +169,30 @@ def main():
                 flip_tta=not args.no_flip_tta, dtype=jnp.bfloat16, mesh=mesh,
             )
             replicate_params = True
-        g_feats, g_pids, g_cams, _ = extract_embeddings(
-            extractor, xtr_params,
-            BatchLoader(dataset.gallery, args.bs, (h, w)), mesh=mesh,
-            replicate_params=replicate_params,
-        )
-        q_feats, q_pids, q_cams, _ = extract_embeddings(
-            extractor, xtr_params,
-            BatchLoader(dataset.query, args.bs, (h, w)), mesh=mesh,
-            replicate_params=replicate_params,
-        )
+        if args.multihost:
+            from tpu_reid.parallel.multihost import (
+                extract_embeddings_multihost,
+            )
+
+            g_feats, g_pids, g_cams, _ = extract_embeddings_multihost(
+                extractor, xtr_params, dataset.gallery, args.bs, (h, w),
+                mesh=mesh,
+            )
+            q_feats, q_pids, q_cams, _ = extract_embeddings_multihost(
+                extractor, xtr_params, dataset.query, args.bs, (h, w),
+                mesh=mesh,
+            )
+        else:
+            g_feats, g_pids, g_cams, _ = extract_embeddings(
+                extractor, xtr_params,
+                BatchLoader(dataset.gallery, args.bs, (h, w)), mesh=mesh,
+                replicate_params=replicate_params,
+            )
+            q_feats, q_pids, q_cams, _ = extract_embeddings(
+                extractor, xtr_params,
+                BatchLoader(dataset.query, args.bs, (h, w)), mesh=mesh,
+                replicate_params=replicate_params,
+            )
         log.log("extracted", gallery=len(g_pids), query=len(q_pids))
 
     # model weights are dead after extraction; at MSMT17 scale the
@@ -160,7 +204,10 @@ def main():
             q_feats, g_feats, q_pids, g_pids, q_cams, g_cams,
             zs_weights=zs_weights, proj_dim=cfg.embed_dim,
             multimodal=args.mm, max_rank=50, reranking=args.rerank,
-            mesh=mesh, with_minp=True,
+            # with --multihost the features were all-gathered to host
+            # numpy and the tail runs process-locally (identical on every
+            # host); the mesh stays with the extraction sweep
+            mesh=None if args.multihost else mesh, with_minp=True,
         )
     def rank(k):  # gallery may be smaller than max_rank
         return float(cmc[min(k - 1, len(cmc) - 1)])
@@ -168,11 +215,13 @@ def main():
     log.log(
         "result", mAP=float(mAP),
         rank1=rank(1), rank5=rank(5), rank10=rank(10), mINP=float(mINP),
+        host=host_id,
     )
-    print(
-        f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
-        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}, mINP: {mINP:.4f}"
-    )
+    if host_id == 0:
+        print(
+            f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
+            f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}, mINP: {mINP:.4f}"
+        )
     return cmc, mAP
 
 

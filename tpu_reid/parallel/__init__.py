@@ -1,4 +1,10 @@
 from tpu_reid.parallel.extract import extract_embeddings, make_extractor
+from tpu_reid.parallel.multihost import (
+    extract_embeddings_multihost,
+    host_slice_records,
+    init_distributed,
+    replicate_multihost,
+)
 from tpu_reid.parallel.mesh import (
     data_sharding,
     make_mesh,
@@ -11,7 +17,11 @@ from tpu_reid.parallel.mesh import (
 
 __all__ = [
     "extract_embeddings",
+    "extract_embeddings_multihost",
+    "host_slice_records",
+    "init_distributed",
     "make_extractor",
+    "replicate_multihost",
     "make_mesh",
     "data_sharding",
     "replicated",
