@@ -106,10 +106,9 @@ def _cli_argv(assets, extra):
     ] + extra
 
 
-def _spawn_host(assets, port, host_id, n_hosts, log_dir, n_local_devices=2):
-    """One CLI process with its own n-device CPU backend, joined to the
-    coordinator — free of this pytest process's jax state and of any
-    accelerator plugin."""
+def _clean_env(n_local_devices):
+    """Subprocess env with its own n-device CPU backend — free of this
+    pytest process's jax state and of any accelerator plugin."""
     env = {
         k: v for k, v in os.environ.items()
         if not k.startswith(("AXON", "PALLAS_AXON", "TPU_", "_AXON"))
@@ -124,6 +123,11 @@ def _spawn_host(assets, port, host_id, n_hosts, log_dir, n_local_devices=2):
             if p and os.path.basename(p.rstrip("/")) != ".axon_site"
         ]
     )
+    return env
+
+
+def _spawn_host(assets, port, host_id, n_hosts, log_dir, n_local_devices=2):
+    env = _clean_env(n_local_devices)
     cmd = [sys.executable, "-m", "tpu_reid.cli.zero_shot"] + _cli_argv(
         assets,
         ["--multihost", f"127.0.0.1:{port}",
@@ -182,3 +186,55 @@ def test_multihost_cli_matches_single_process(assets, tmp_path, monkeypatch):
     cmc, mAP = cli.main()
     assert abs(r0["mAP"] - float(mAP)) < 1e-5, (r0["mAP"], float(mAP))
     assert abs(r0["rank1"] - float(cmc[0])) < 1e-5
+
+
+def test_multihost_training_matches_single_process(tmp_path):
+    """2-process training parity: stage-2 (3 steps) + live stage-1 of the
+    tiny flagship over a 2x2-device process-spanning mesh must reproduce
+    the single-process 4-device mesh loss trajectory — the cross-process
+    gradient psum (ICI within a host, DCN across) must not change the
+    math."""
+    port = _free_port()
+    outs = [str(tmp_path / f"loss{i}.json") for i in range(2)]
+    child = os.path.join(REPO, "tests", "_mh_train_child.py")
+    env = _clean_env(2)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), "2", str(port), outs[i]],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    texts = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            texts.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, texts):
+        assert p.returncode == 0, f"training child failed:\n{out[-4000:]}"
+
+    with open(outs[0]) as fh:
+        l0 = json.load(fh)
+    with open(outs[1]) as fh:
+        l1 = json.load(fh)
+    assert l0 == l1, (l0, l1)  # every process sees the same global loss
+
+    # single-process reference over a 4-device mesh (same global devices)
+    import jax
+
+    from tests._mh_train_child import run
+    from tpu_reid.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh(devices=jax.devices()[:4])
+    ref = run(
+        mesh,
+        lambda t: shard_batch(mesh, t),
+        lambda t: replicate(mesh, t),
+        1,
+    )
+    np.testing.assert_allclose(l0, ref, rtol=1e-5, atol=1e-6)

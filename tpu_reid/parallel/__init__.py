@@ -4,6 +4,7 @@ from tpu_reid.parallel.multihost import (
     host_slice_records,
     init_distributed,
     replicate_multihost,
+    shard_batch_multihost,
 )
 from tpu_reid.parallel.mesh import (
     data_sharding,
@@ -22,6 +23,7 @@ __all__ = [
     "init_distributed",
     "make_extractor",
     "replicate_multihost",
+    "shard_batch_multihost",
     "make_mesh",
     "data_sharding",
     "replicated",

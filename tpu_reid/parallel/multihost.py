@@ -109,6 +109,27 @@ def replicate_multihost(mesh, tree):
     )
 
 
+def shard_batch_multihost(mesh, tree):
+    """Multi-process analog of ``mesh.shard_batch``: every process passes
+    the contiguous batch rows its OWN devices consume (global batch /
+    process_count, e.g. from ``host_slice_records``) and gets back the
+    global batch-sharded pytree. Training steps built with
+    ``make_stage1_step/make_stage2_step(mesh=...)`` consume these directly
+    — gradient psum then rides ICI within a host and DCN across hosts
+    (verified for loss-trajectory parity with the single-process mesh in
+    tests/test_multihost.py)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dat = NamedSharding(mesh, P("data"))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            dat, np.asarray(x)
+        ),
+        tree,
+    )
+
+
 def extract_embeddings_multihost(
     extractor,
     params: dict,
