@@ -67,10 +67,16 @@ def assets(tmp_path_factory):
     rng = np.random.RandomState(0)
     for sub in ("bounding_box_train", "query", "bounding_box_test"):
         (base / sub).mkdir(parents=True)
+    # train: 4 ids x 6 images (enough for the PK sampler at bs 8 / K 4)
+    for pid, cam in [(1, 1), (2, 2), (3, 3), (4, 1)]:
+        for k in range(6):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(
+                base / "bounding_box_train"
+                / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg"
+            )
     for pid, cam in [(1, 1), (2, 2), (3, 3)]:
-        Image.fromarray(
-            rng.randint(0, 255, (64, 32, 3), np.uint8)
-        ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_000000_00.jpg")
         Image.fromarray(
             rng.randint(0, 255, (64, 32, 3), np.uint8)
         ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
@@ -186,6 +192,179 @@ def test_multihost_cli_matches_single_process(assets, tmp_path, monkeypatch):
     cmc, mAP = cli.main()
     assert abs(r0["mAP"] - float(mAP)) < 1e-5, (r0["mAP"], float(mAP))
     assert abs(r0["rank1"] - float(cmc[0])) < 1e-5
+
+
+def _train_argv(assets, save_path, extra):
+    return [
+        "--root", assets["root"],
+        "--model_path", assets["ckpt"],
+        "--bpe_path", assets["merges"],
+        "--height", "32", "--stride", "8", "--bs", "8",
+        "--epochs_stage1", "1", "--epochs_stage2", "1",
+        "--training_mode", "coop",
+        "--save_path", save_path,
+    ] + extra
+
+
+def test_multihost_training_cli_matches_single_process(
+    assets, tmp_path, monkeypatch
+):
+    """The FULL two-stage prompt-learning CLI over a 2-process mesh:
+    cached stage-1 (multi-host feature precompute), stage-2 (cross-process
+    gradient psum), orbax multihost checkpointing into ONE shared
+    directory, and the all-gathered final evaluation — must reproduce the
+    single-process --devices 4 run."""
+    port = _free_port()
+    logs = [str(tmp_path / f"train_h{i}") for i in range(2)]
+    save = str(tmp_path / "ckpt_mh")
+    env = _clean_env(2)
+    procs = []
+    for hid in range(2):
+        cmd = [sys.executable, "-m", "tpu_reid.cli.prompt_learning"]
+        cmd += _train_argv(assets, save, [
+            "--multihost", f"127.0.0.1:{port}",
+            "--num_hosts", "2", "--host_id", str(hid),
+            "--log_dir", logs[hid],
+        ])
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"training host failed:\n{out[-5000:]}"
+
+    r0, r1 = _result_of(logs[0]), _result_of(logs[1])
+    for key in ("mAP", "rank1", "rank5", "rank10", "mINP"):
+        assert r0[key] == r1[key], (key, r0, r1)
+
+    # single-process reference: --devices 4 = the same data-axis width
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning"] + _train_argv(
+            assets, str(tmp_path / "ckpt_sp"), ["--devices", "4"]
+        ),
+    )
+    cmc, mAP = cli.main()
+    assert abs(r0["mAP"] - float(mAP)) < 1e-5, (r0["mAP"], float(mAP))
+    assert abs(r0["rank1"] - float(cmc[0])) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def mt_assets(tmp_path_factory):
+    """Market + Duke layouts + tiny checkpoint for the multitask CLI."""
+    import torch
+    from PIL import Image
+
+    import tests.torch_oracle as oracle
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path_factory.mktemp("mh_mt")
+    rng = np.random.RandomState(0)
+    for name in ("Market1501", "DukeMTMC-reID"):
+        base = root / name
+        for sub in ("bounding_box_train", "query", "bounding_box_test"):
+            (base / sub).mkdir(parents=True)
+        for pid, cam, n in [(1, 1, 4), (2, 2, 4)]:
+            for k in range(n):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(
+                    base / "bounding_box_train"
+                    / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg"
+                )
+        for pid in (1, 2):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
+            for k in range(2):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(
+                    base / "bounding_box_test"
+                    / f"{pid:04d}_c{1 + k}s1_{k:06d}_00.jpg"
+                )
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    merges = str(root / "m.gz")
+    write_test_merges(merges, [("p", "h"), ("ph", "o")])
+    return {"root": str(root), "ckpt": ckpt, "merges": merges}
+
+
+def _mt_argv(mt_assets, save_path, extra):
+    return [
+        "--root", mt_assets["root"],
+        "--model_path", mt_assets["ckpt"],
+        "--bpe_path", mt_assets["merges"],
+        "--variant", "hard", "--height", "32", "--stride", "8",
+        "--bs", "8", "--epochs_stage1", "1", "--epochs_stage2", "1",
+        "--save_path", save_path,
+    ] + extra
+
+
+def test_multihost_multitask_cli_matches_single_process(
+    mt_assets, tmp_path, monkeypatch
+):
+    """The multitask hard-sharing CLI (dual prompt learners, per-task
+    heads, XBM state threading) over a 2-process mesh reproduces the
+    single-process --devices 4 run."""
+    port = _free_port()
+    logs = [str(tmp_path / f"mt_h{i}") for i in range(2)]
+    save = str(tmp_path / "ck_mh")
+    env = _clean_env(2)
+    procs = []
+    for hid in range(2):
+        cmd = [sys.executable, "-m", "tpu_reid.cli.multitask"]
+        cmd += _mt_argv(mt_assets, save, [
+            "--multihost", f"127.0.0.1:{port}",
+            "--num_hosts", "2", "--host_id", str(hid),
+            "--log_dir", logs[hid],
+        ])
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multitask host failed:\n{out[-5000:]}"
+
+    r0, r1 = _result_of(logs[0]), _result_of(logs[1])
+    for key in ("mAP", "rank1", "mINP"):
+        assert r0[key] == r1[key], (key, r0, r1)
+
+    from tpu_reid.cli import multitask as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["multitask"] + _mt_argv(
+            mt_assets, str(tmp_path / "ck_sp"), ["--devices", "4"]
+        ),
+    )
+    cmc, mAP = cli.main()
+    assert abs(r0["mAP"] - float(mAP)) < 1e-5, (r0["mAP"], float(mAP))
 
 
 def test_multihost_training_matches_single_process(tmp_path):

@@ -99,6 +99,18 @@ def params_parser():
                    help="with --eval_every: keep the best-mAP parameters "
                         "seen at any evaluation (periodic or final) under "
                         "<save_path>/<mode>/<dataset>/best")
+    p.add_argument("--multihost", default=None, type=str, metavar="HOST:PORT",
+                   help="multi-host training + evaluation: coordinator "
+                        "address for jax.distributed (one process per host "
+                        "with --num_hosts/--host_id). The global batch "
+                        "shards over every process's devices; gradient "
+                        "psum rides ICI within a host and DCN across; "
+                        "checkpoints are written once (orbax multihost); "
+                        "evaluation extracts per-host and all-gathers")
+    p.add_argument("--num_hosts", default=1, type=int,
+                   help="with --multihost: total number of processes")
+    p.add_argument("--host_id", default=0, type=int,
+                   help="with --multihost: this process's index")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
@@ -279,6 +291,16 @@ def main():
     args = params_parser()
     args.test_dataset = args.test_dataset or args.train_dataset
 
+    host_id = 0
+    if args.multihost:
+        # must join the distributed runtime before anything touches a
+        # device; after this jax.devices() spans every host
+        from tpu_reid.parallel.multihost import init_distributed
+
+        host_id, _ = init_distributed(
+            args.multihost, args.num_hosts, args.host_id
+        )
+
     import jax
     import jax.numpy as jnp
 
@@ -332,7 +354,14 @@ def main():
     key = jax.random.key(args.seed)
 
     mesh = None
-    if args.devices > 1:
+    if args.multihost:
+        from tpu_reid.parallel.mesh import make_mesh
+
+        n_data = len(jax.devices())
+        assert args.bs % n_data == 0, \
+            f"--bs {args.bs} must divide by the {n_data} global devices"
+        mesh = make_mesh(n_data=n_data)
+    elif args.devices > 1:
         from tpu_reid.parallel.mesh import make_mesh
 
         assert args.bs % args.devices == 0, \
@@ -453,19 +482,37 @@ def main():
                     pp, flip_tta=True, mesh=mesh,
                 )
         test_ds, extractor = _eval_state["ds"], _eval_state["xtr"]
-        g_feats, g_pids, g_cams, _ = extract_embeddings(
-            extractor, eval_params,
-            BatchLoader(test_ds.gallery, args.bs, (h, w)),
-            mesh=mesh, cv_ids_of=sie_ids_of,
-        )
-        q_feats, q_pids, q_cams, _ = extract_embeddings(
-            extractor, eval_params,
-            BatchLoader(test_ds.query, args.bs, (h, w)),
-            mesh=mesh, cv_ids_of=sie_ids_of,
-        )
+        if args.multihost:
+            # per-host decode of each host's own batch slice, one feature
+            # all-gather; the retrieval tail then runs process-locally and
+            # identically on every host
+            from tpu_reid.parallel.multihost import (
+                extract_embeddings_multihost,
+            )
+
+            g_feats, g_pids, g_cams, _ = extract_embeddings_multihost(
+                extractor, eval_params, test_ds.gallery, args.bs, (h, w),
+                mesh=mesh, cv_ids_of=sie_ids_of,
+            )
+            q_feats, q_pids, q_cams, _ = extract_embeddings_multihost(
+                extractor, eval_params, test_ds.query, args.bs, (h, w),
+                mesh=mesh, cv_ids_of=sie_ids_of,
+            )
+        else:
+            g_feats, g_pids, g_cams, _ = extract_embeddings(
+                extractor, eval_params,
+                BatchLoader(test_ds.gallery, args.bs, (h, w)),
+                mesh=mesh, cv_ids_of=sie_ids_of,
+            )
+            q_feats, q_pids, q_cams, _ = extract_embeddings(
+                extractor, eval_params,
+                BatchLoader(test_ds.query, args.bs, (h, w)),
+                mesh=mesh, cv_ids_of=sie_ids_of,
+            )
         ev = Evaluator(
             num_query=len(q_pids), max_rank=10, feat_norm=True,
-            reranking=args.rerank, mesh=mesh, with_minp=True,
+            reranking=args.rerank, mesh=None if args.multihost else mesh,
+            with_minp=True,
         )
         ev.update(q_feats, q_pids, q_cams)
         ev.update(g_feats, g_pids, g_cams)
@@ -525,11 +572,12 @@ def main():
         return float(cmc[min(k - 1, len(cmc) - 1)])
 
     log.log("result", mAP=float(mAP), rank1=rank(1),
-            rank5=rank(5), rank10=rank(10), mINP=float(mINP))
-    print(
-        f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
-        f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}, mINP: {mINP:.4f}"
-    )
+            rank5=rank(5), rank10=rank(10), mINP=float(mINP), host=host_id)
+    if host_id == 0:
+        print(
+            f"Rank@1: {rank(1):.4f}, Rank@5: {rank(5):.4f}, "
+            f"Rank@10: {rank(10):.4f}, mAP: {mAP:.4f}, mINP: {mINP:.4f}"
+        )
     return cmc, mAP
 
 

@@ -141,9 +141,13 @@ def extract_embeddings_multihost(
     on_hang=None,
     replicate_params: bool = True,
     loader_kwargs: Optional[dict] = None,
+    cv_ids_of=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Lock-step multi-host sweep; returns (features, pids, camids, seqids)
     as host numpy, identical on every process.
+
+    cv_ids_of(batch) -> (B_local,) int ids feeds the extractor's third
+    argument (pair with make_extractor(with_cv_ids=True) — the SIE path).
 
     extractor: a ``make_extractor(..., mesh=mesh)`` step over the GLOBAL
     mesh. Each process decodes only its own slice of every global batch
@@ -182,8 +186,13 @@ def extract_embeddings_multihost(
     for b in loader:
         assert b.valid.all()  # padding is by wrap-around records
         images = jax.make_array_from_process_local_data(dat, b.images)
+        extra = ()
+        if cv_ids_of is not None:
+            extra = (jax.make_array_from_process_local_data(
+                dat, np.asarray(cv_ids_of(b), np.int32)
+            ),)
         with StepWatchdog(hang_timeout_s, on_hang=on_hang):
-            feats.append(extractor(params, images))
+            feats.append(extractor(params, images, *extra))
     assert len(feats) == n_batches, (len(feats), n_batches)
 
     # one all-gather: features become fully replicated, then host numpy

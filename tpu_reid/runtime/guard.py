@@ -39,10 +39,22 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def _to_device(tree):
+def _to_device(tree, like=None):
+    """Re-commit a host snapshot; `like` (the live state being replaced)
+    restores each leaf with its original sharding — required when the
+    state lives replicated on a (possibly multi-host) mesh, where a bare
+    jnp.asarray would come back as an uncommitted single-device array."""
     import jax.numpy as jnp
 
-    return jax.tree.map(jnp.asarray, tree)
+    if like is None:
+        return jax.tree.map(jnp.asarray, tree)
+    return jax.tree.map(
+        lambda x, ref: (
+            jax.device_put(np.asarray(x), ref.sharding)
+            if isinstance(ref, jax.Array) else jnp.asarray(x)
+        ),
+        tree, like,
+    )
 
 
 class GuardTripped(RuntimeError):
@@ -110,7 +122,10 @@ class TrainGuard:
             )
         assert self._snap is not None, "check() before any maybe_snapshot()"
         _, host_state = self._snap
-        return tuple(_to_device(s) for s in host_state), False
+        return tuple(
+            _to_device(s, like=live)
+            for s, live in zip(host_state, state)
+        ), False
 
 
 class StepWatchdog:

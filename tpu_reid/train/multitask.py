@@ -387,7 +387,7 @@ def run_mt_stage1(
     epoch — the reference's multitask scripts save prompter state every 20
     epochs (..._hard_sharing.py:471-476). start_epoch/init_* resume
     mid-stage with the exact trajectory, as in trainer.run_stage1."""
-    params = jax.tree.map(jnp.asarray, params)  # commit to device once
+    params = TR._commit_state(mesh, params)  # commit to device once
     trainable, frozen = O.partition(
         params, lambda p: mt_stage1_trainable(p, cfg)
     )
@@ -465,7 +465,7 @@ def run_mt_stage2(
     after every epoch (reference: ..._hard_sharing.py:676-681 saves the
     full model every 20 epochs). init_xbms restores the cross-batch memory
     banks so a resumed run mines against the same negatives."""
-    params = jax.tree.map(jnp.asarray, params)  # commit to device once
+    params = TR._commit_state(mesh, params)  # commit to device once
     text_features = [
         jax.lax.stop_gradient(all_class_text_features_mt(params, cfg, t))
         for t in (0, 1)

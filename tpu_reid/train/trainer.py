@@ -152,14 +152,57 @@ def _as_device_array(x):
     return jnp.asarray(np.asarray(x))
 
 
+def _is_multihost(mesh) -> bool:
+    """True when the mesh spans more than one process (multi-host run)."""
+    return mesh is not None and jax.process_count() > 1
+
+
+def _commit_state(mesh, tree):
+    """Commit params / optimizer state to device once. Multi-process mesh:
+    replicate onto every device of every host (each process passes its own
+    identical copy — converters and seeded inits are deterministic)."""
+    if _is_multihost(mesh):
+        from tpu_reid.parallel.multihost import replicate_multihost
+
+        return replicate_multihost(mesh, tree)
+    return jax.tree.map(jnp.asarray, tree)
+
+
 def _batch_placer(mesh):
     """Batch-arg placement for the mesh path: jit's in_shardings refuse
     committed arrays whose sharding disagrees (a cached-feature slice or a
     preprocessed batch lands replicated / on one device), so the run loops
     device_put every batch leaf onto the "data" axis explicitly — a no-op
-    when already placed there."""
+    when already placed there.
+
+    Multi-host meshes can't device_put host values onto other processes'
+    devices; instead every process contributes its own contiguous row
+    slice of the (identical, deterministically generated) global batch via
+    make_array_from_process_local_data. Each host re-generates the full
+    batch and keeps rows/P — the trade that keeps trajectories EXACTLY
+    equal to the single-process mesh (same batches, same augmentation
+    keys); per-host input pipelines are the extraction sweep's job
+    (parallel/multihost.py), training batches are small."""
     if mesh is None:
         return lambda b: b
+    if _is_multihost(mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dat = NamedSharding(mesh, P("data"))
+        pid, pcount = jax.process_index(), jax.process_count()
+
+        def place_leaf(x):
+            x = np.asarray(x)
+            per, rem = divmod(x.shape[0], pcount)
+            assert rem == 0, (
+                f"global batch {x.shape[0]} must divide by the "
+                f"{pcount} processes"
+            )
+            return jax.make_array_from_process_local_data(
+                dat, x[pid * per : (pid + 1) * per]
+            )
+
+        return lambda b: jax.tree.map(place_leaf, b)
     from tpu_reid.parallel.mesh import data_sharding
 
     dat = data_sharding(mesh)
@@ -230,17 +273,32 @@ def precompute_image_features(
     params: dict,
     cfg: M.ReidModelConfig,
     batches: Iterable,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frozen-encoder sweep caching proj features for the coop/adapter fast
     path (reference: prompt_learning.py:365-382). Stays in HBM. Batches may
     carry a 4th element (camera ids) — applied through the SIE embedding at
-    its frozen initial values, as CLIP-ReID's stage 1 does."""
-    encode = jax.jit(
-        lambda p, im, cv: M.encode_image_features(p, cfg, im, cv)["proj"]
-    )
+    its frozen initial values, as CLIP-ReID's stage 1 does.
+
+    mesh (multi-process only): shard the sweep's batch over "data" across
+    all hosts' devices and gather features replicated, so the cached bank
+    is a global array every later step can consume."""
+    fn = lambda p, im, cv: M.encode_image_features(p, cfg, im, cv)["proj"]  # noqa: E731
+    if _is_multihost(mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep, dat = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+        encode = jax.jit(
+            fn, in_shardings=(rep, dat, dat), out_shardings=rep
+        )
+        place = _batch_placer(mesh)
+    else:
+        encode = jax.jit(fn)
+        place = lambda b: b  # noqa: E731
     feats, labels = [], []
     for images, lab, valid, *rest in batches:
         cv = rest[0] if rest else None
+        images, cv = place((images, cv))
         f = encode(params, images, cv)
         feats.append(f[np.asarray(valid)])
         labels.append(np.asarray(lab)[np.asarray(valid)])
@@ -279,7 +337,7 @@ def run_stage1(
     reference: prompt_learning_multitask.py:475-503); tail batches shorter
     than batch_size are padded and masked."""
     epochs = epochs or tcfg.epochs_stage1
-    params = jax.tree.map(jnp.asarray, params)  # commit to device once
+    params = _commit_state(mesh, params)  # commit to device once
     cached = cfg.mode in ("coop", "adapter")
     trainable, frozen = O.partition(
         params, lambda path: M.stage1_trainable(path, cfg)
@@ -292,7 +350,8 @@ def run_stage1(
 
     if cached:
         feats, labels = precompute_image_features(
-            params, cfg, epoch_batches(0)
+            params, cfg, epoch_batches(0),
+            mesh=mesh if _is_multihost(mesh) else None,
         )
         n = labels.shape[0]
         rng = np.random.default_rng(seed)
@@ -478,7 +537,7 @@ def run_stage2(
     when a step yields a non-finite loss (frozen carries the BNNeck
     running stats, which a diverged step also poisons)."""
     epochs = epochs or tcfg.epochs_stage2
-    params = jax.tree.map(jnp.asarray, params)  # commit to device once
+    params = _commit_state(mesh, params)  # commit to device once
     text_features = jax.lax.stop_gradient(
         M.all_class_text_features(params, cfg)
     )
