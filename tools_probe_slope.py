@@ -37,7 +37,11 @@ def main():
         @jax.jit
         def body(p, im):
             def step(carry, _):
+                # perturb the input by the carry so each iteration's embed
+                # depends on the previous one — XLA cannot hoist the encoder
+                # out of the loop (advisor finding r2)
                 x = pp.eval_batch(im)
+                x = x + (carry * 1e-8).astype(x.dtype)
                 f = M.eval_embed(p, mcfg, x)
                 return carry + f[0, 0].astype(jnp.float32), None
 
@@ -45,13 +49,20 @@ def main():
             return out
 
         float(body(params, images))  # compile + warmup
-        t0 = time.perf_counter()
-        float(body(params, images))
-        return time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(body(params, images))
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     t4 = run_k(4)
     t8 = run_k(8)
     ms = (t8 - t4) / 4 * 1e3
+    if ms <= 0:
+        print(f"K=4: {t4*1e3:.1f} ms  K=8: {t8*1e3:.1f} ms — noisy "
+              "measurement (non-positive slope), rerun")
+        return
     print(f"K=4: {t4*1e3:.1f} ms  K=8: {t8*1e3:.1f} ms  "
           f"slope {ms:.1f} ms/batch -> {batch/ (ms/1e3):.0f} emb/s on-chip")
 

@@ -67,13 +67,7 @@ def _deep_prompt_flags(cfg: VisionConfig) -> jax.Array:
     return (i > 0) & (i < cfg.design.vision_depth)
 
 
-def patch_embed(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array:
-    """(B, H, W, 3) -> (B, h_grid*w_grid, width) overlapping patch tokens.
-
-    Kept as a plain strided conv: inside the fused encoder program XLA
-    lowers this at ~3.5 ms/512-batch, and the im2col+matmul formulation
-    measured perf-neutral in-model (docs/ROADMAP.md), so the simpler
-    form wins."""
+def _patch_embed_conv(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array:
     x = jax.lax.conv_general_dilated(
         images,
         params["conv"]["w"].astype(images.dtype),
@@ -83,6 +77,64 @@ def patch_embed(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array
     )
     b = x.shape[0]
     return x.reshape(b, cfg.h_grid * cfg.w_grid, cfg.width)
+
+
+def _patch_embed_gemm(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array:
+    """Overlapping patch embed as a sum of pure gemms (exact conv math).
+
+    A stride-s conv with kernel p > s cannot be a single reshape+matmul,
+    but splitting the kernel at stride boundaries makes every piece
+    non-overlapping: kernel rows [j*s, (j+1)*s) of output i read input
+    rows i*s + j*s + [0, s) — a plain (out, s) reshape of a shifted image.
+    For p=16/s=12 that is 2x2 kernel pieces -> 4 gemms with contraction
+    dims (hj, wj, 3), all MXU-shaped. Measured on v5e at B=512/256x128:
+    the strided-conv lowering costs ~3.5 ms; this decomposition runs the
+    same 127 GFLOP as gemms (reference conv: coop.py:190-191)."""
+    w = params["conv"]["w"].astype(images.dtype)  # (p, p, 3, width)
+    p, s = cfg.patch_size, cfg.stride
+    oh, ow = cfg.h_grid, cfg.w_grid
+    b, ih, iw, c = images.shape
+    acc = None
+    for jy in range(-(-p // s)):
+        h0 = jy * s
+        hj = min(p - h0, s)
+        rows = images[:, h0 : h0 + oh * s]
+        if rows.shape[1] < oh * s:
+            rows = jnp.pad(
+                rows, [(0, 0), (0, oh * s - rows.shape[1]), (0, 0), (0, 0)]
+            )
+        rows = rows.reshape(b, oh, s, rows.shape[2], c)[:, :, :hj]
+        for jx in range(-(-p // s)):
+            w0 = jx * s
+            wj = min(p - w0, s)
+            cols = rows[:, :, :, w0 : w0 + ow * s]
+            if cols.shape[3] < ow * s:
+                cols = jnp.pad(
+                    cols,
+                    [(0, 0), (0, 0), (0, 0), (0, ow * s - cols.shape[3]),
+                     (0, 0)],
+                )
+            cols = cols.reshape(b, oh, hj, ow, s, c)[:, :, :, :, :wj]
+            y = jax.lax.dot_general(
+                cols,
+                w[h0 : h0 + hj, w0 : w0 + wj],
+                dimension_numbers=(((2, 4, 5), (0, 1, 2)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, oh, ow, width)
+            acc = y if acc is None else acc + y
+    return acc.astype(images.dtype).reshape(b, oh * ow, cfg.width)
+
+
+def patch_embed(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array:
+    """(B, H, W, 3) -> (B, h_grid*w_grid, width) overlapping patch tokens.
+
+    Uses the gemm decomposition whenever the output grid tiles the image
+    (always true for VALID conv geometry); the strided-conv form is kept
+    as the shape-generic fallback."""
+    p, s = cfg.patch_size, cfg.stride
+    if s <= p and images.ndim == 4 and images.shape[1] >= cfg.h_grid * s:
+        return _patch_embed_gemm(params, cfg, images)
+    return _patch_embed_conv(params, cfg, images)
 
 
 def apply_vit(

@@ -76,6 +76,40 @@ def make_extractor(
     return jax.jit(sharded)
 
 
+def make_scan_extractor(
+    embed_fn: Callable[..., jax.Array],
+    preprocess: DevicePreprocess,
+    flip_tta: bool = True,
+    dtype=jnp.bfloat16,
+):
+    """Multi-batch extractor: ONE jitted program over K stacked batches.
+
+    fn(params, images_u8) with images_u8 (K, B, H, W, 3) -> (K, B, E).
+    A lax.scan over the leading axis runs K sequential encoder sweeps per
+    dispatch, amortizing per-dispatch overhead K-fold — through a remote
+    device link (the axon tunnel) each dispatch costs ~25-30 ms, which at
+    K=1 taxes a ~125 ms batch by ~20%. Semantics are identical to calling
+    make_extractor's step on each batch (same fused kernels: the scan body
+    sees per-device static shapes)."""
+
+    def one(params, images_u8):
+        x = preprocess.eval_batch(images_u8).astype(dtype)
+        feats = embed_fn(params, x)
+        if flip_tta:
+            feats = (feats + embed_fn(params, x[:, :, ::-1])) * 0.5
+        return feats.astype(jnp.float32)
+
+    @jax.jit
+    def scan_fn(params, images_kb):
+        def body(carry, im):
+            return carry, one(params, im)
+
+        _, out = jax.lax.scan(body, jnp.int32(0), images_kb)
+        return out
+
+    return scan_fn
+
+
 def extract_embeddings(
     extractor,
     params: dict,
