@@ -62,7 +62,7 @@ def main() -> None:
 
     from tpu_reid.data.transforms import DevicePreprocess
     from tpu_reid.models import reid_clip as M
-    from tpu_reid.parallel.extract import make_extractor
+    from tpu_reid.parallel.extract import make_extractor, make_scan_extractor
 
     from __graft_entry__ import _flagship
 
@@ -87,13 +87,31 @@ def main() -> None:
         flip_tta=False,
         dtype=jnp.bfloat16,
     )
+    scan_extractor = make_scan_extractor(
+        lambda p, im: M.eval_embed(p, mcfg, im),
+        pp,
+        flip_tta=False,
+        dtype=jnp.bfloat16,
+    )
 
-    batch = 512
-    rng = np.random.RandomState(0)
-    images = jax.device_put(rng.randint(0, 255, (batch, h, w, 3), np.uint8))
-    float(images.sum())  # force staging before the timed region
+    batch, k_batches = 512, 20
 
-    # compile + warmup (scalar fetch forces completion)
+    # generate the input gallery ON DEVICE in one jitted program: a
+    # host-side device_put of the (K, B, H, W, 3) uint8 stack would move
+    # ~1 GB through the tunnel at tens of MB/s (and has been observed to
+    # kill the relay); throughput here is data-independent.
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def make_images(key, shape):
+        return jax.random.randint(key, shape, 0, 255, dtype=jnp.uint8)
+
+    images = make_images(jax.random.key(0), (batch, h, w, 3))
+    images_k = make_images(jax.random.key(1), (k_batches, batch, h, w, 3))
+    float(images.sum())  # force materialization before the timed region
+
+    # compile + warmup (scalar fetch forces completion; block_until_ready
+    # returns early through the tunnel)
     float(extractor(params, images)[0, 0])
     float(extractor(params, images)[0, 0])
 
@@ -102,17 +120,20 @@ def main() -> None:
     float(extractor(params, images)[0, 0])
     latency = time.perf_counter() - t0
 
-    # pipelined throughput: ONE dependency barrier after the loop (a
-    # per-iteration scalar fetch would tax every batch with the ~30 ms
-    # tunnel round-trip; one barrier summing a scalar from every output
-    # forces completion of all of them)
-    n_iters = 10
-    t0 = time.perf_counter()
-    outs = [extractor(params, images)[0, 0] for _ in range(n_iters)]
-    float(jnp.stack(outs).sum())
-    dt = time.perf_counter() - t0
+    # throughput: ONE jitted lax.scan program sweeps all K batches —
+    # the per-dispatch overhead (~25-30 ms through the remote device
+    # link) is paid once, so the wall clock measures the chip's
+    # steady-state extraction rate, dispatch included. This is the
+    # production shape: extract_embeddings stages the gallery in stacked
+    # batches the same way.
+    float(scan_extractor(params, images_k)[0, 0, 0])  # compile
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(scan_extractor(params, images_k)[0, 0, 0])
+        dt = min(dt, time.perf_counter() - t0)
 
-    emb_per_sec = batch * n_iters / dt
+    emb_per_sec = batch * k_batches / dt
     print(
         f"# per-batch latency {latency * 1e3:.1f} ms "
         f"({batch / latency:.0f} emb/s unpipelined)"
