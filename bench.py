@@ -81,20 +81,25 @@ def main() -> None:
 
     params = to_bf16(params)
     pp = DevicePreprocess((h, w), "vit", dtype=jnp.bfloat16)
+    # fold the input normalization into the patch-embed weights inside the
+    # step (exact math; the normalize pass disappears)
+    fold = lambda p: M.fold_input_norm(p, mcfg, "vit")
     extractor = make_extractor(
         lambda p, im: M.eval_embed(p, mcfg, im),
         pp,
         flip_tta=False,
         dtype=jnp.bfloat16,
+        fold=fold,
     )
     scan_extractor = make_scan_extractor(
         lambda p, im: M.eval_embed(p, mcfg, im),
         pp,
         flip_tta=False,
         dtype=jnp.bfloat16,
+        fold=fold,
     )
 
-    batch, k_batches = 512, 20
+    batch, k_batches = 512, 40
 
     # generate the input gallery ON DEVICE in one jitted program: a
     # host-side device_put of the (K, B, H, W, 3) uint8 stack would move

@@ -272,3 +272,53 @@ def test_residual_block_cls_gradients_match():
     g_cls = jax.grad(lambda q: jnp.sum(L.residual_block_cls(q, x, h)[:, 0] ** 2))(p)
     for a, b_ in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_cls)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_patch_embed_conv_matches_gemm_decomposition():
+    """The production strided-conv lowering and the stride-boundary gemm
+    decomposition are the same math (incl. the optional folded bias)."""
+    hg, wg = VisionConfig.grid_for((64, 32), 16, 12)
+    cfg = VisionConfig(layers=1, width=64, patch_size=16, stride=12,
+                       h_grid=hg, w_grid=wg, output_dim=32)
+    rng = np.random.default_rng(40)
+    p = {"conv": {
+        "w": jnp.asarray(rng.normal(size=(16, 16, 3, 64)) * 0.05, jnp.float32),
+        "b": jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32),
+    }}
+    imgs = jnp.asarray(rng.normal(size=(3, 64, 32, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(V._patch_embed_conv(p, cfg, imgs)),
+        np.asarray(V._patch_embed_gemm(p, cfg, imgs)),
+        atol=1e-4,
+    )
+
+
+def test_fold_input_norm_matches_normalized_path():
+    """folded=True extraction on raw uint8 equals the normalize-then-embed
+    path (models.reid_clip.fold_input_norm): affine normalization folded
+    into the patch-embed weights is exact math."""
+    from tests.test_trainer import tiny_model
+    from tpu_reid.data.transforms import DevicePreprocess
+    from tpu_reid.models import reid_clip as M
+    from tpu_reid.parallel.extract import make_extractor
+
+    mcfg, params = tiny_model("coop")
+    pp = DevicePreprocess((32, 16), "vit", dtype=jnp.float32)
+    rng = np.random.default_rng(41)
+    imgs = jnp.asarray(rng.integers(0, 256, (4, 32, 16, 3)), jnp.uint8)
+
+    embed = lambda p, im: M.eval_embed(p, mcfg, im)
+    plain = make_extractor(embed, pp, flip_tta=True, dtype=jnp.float32)
+    folded = make_extractor(embed, pp, flip_tta=True, dtype=jnp.float32,
+                            fold=lambda p: M.fold_input_norm(p, mcfg, "vit"))
+    f_plain = np.asarray(plain(params, imgs))
+    f_fold = np.asarray(folded(params, imgs))
+    np.testing.assert_allclose(f_fold, f_plain, atol=2e-4)
+
+    # resize path: bicubic resize commutes with the folded affine
+    big = jnp.asarray(rng.integers(0, 256, (4, 48, 20, 3)), jnp.uint8)
+    np.testing.assert_allclose(
+        np.asarray(folded(params, big)),
+        np.asarray(plain(params, big)),
+        atol=2e-4,
+    )

@@ -237,9 +237,19 @@ def main():
             _eval_state["pp"] = (
                 pp1 if args.test_dataset == args.train_dataset else pp2
             )
+            # fold the input normalization into the patch-embed weights
+            # inside the jitted step (exact; kills the normalize pass)
+            from tpu_reid.models.vit import fold_visual_input_norm
+
+            fold = lambda p: dict(
+                p, clip=dict(
+                    p["clip"],
+                    visual=fold_visual_input_norm(p["clip"]["visual"], "vit"),
+                )
+            )
             _eval_state["xtr"] = make_extractor(
                 _eval_state["embed"], _eval_state["pp"], flip_tta=True,
-                mesh=mesh,
+                mesh=mesh, fold=fold,
             )
         test_ds, pp, extractor = (
             _eval_state["ds"], _eval_state["pp"], _eval_state["xtr"]

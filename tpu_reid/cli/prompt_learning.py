@@ -469,17 +469,21 @@ def main():
     def evaluate(eval_params):
         if not _eval_state:
             _eval_state["ds"] = get_dataset(args.root, args.test_dataset)
+            # input normalization folded into the patch-embed weights
+            # inside the jitted step (exact; kills the normalize pass)
+            fold = lambda p: M.fold_input_norm(p, mcfg, "vit")
             if n_sie:
                 # SIE applies at inference too (ids past the training
                 # range clamp to the last embedding row inside the model)
                 _eval_state["xtr"] = make_extractor(
                     lambda p, im, cv: M.eval_embed(p, mcfg, im, cv_ids=cv),
                     pp, flip_tta=True, mesh=mesh, with_cv_ids=True,
+                    fold=fold,
                 )
             else:
                 _eval_state["xtr"] = make_extractor(
                     lambda p, im: M.eval_embed(p, mcfg, im),
-                    pp, flip_tta=True, mesh=mesh,
+                    pp, flip_tta=True, mesh=mesh, fold=fold,
                 )
         test_ds, extractor = _eval_state["ds"], _eval_state["xtr"]
         if args.multihost:

@@ -164,9 +164,19 @@ def main():
             replicate_params = False
         else:
             xtr_params = params
+            fold = None
+            if model_type == "vit":
+                # normalization folded into the patch-embed weights inside
+                # the jitted step (exact; kills the normalize pass)
+                from tpu_reid.models.vit import fold_visual_input_norm
+
+                fold = lambda p: dict(
+                    p, visual=fold_visual_input_norm(p["visual"], model_type)
+                )
             extractor = make_extractor(
                 Z.make_zeroshot_embed(params, cfg), pp,
                 flip_tta=not args.no_flip_tta, dtype=jnp.bfloat16, mesh=mesh,
+                fold=fold,
             )
             replicate_params = True
         if args.multihost:

