@@ -6,6 +6,7 @@ from tpu_reid.parallel.multihost import (
     replicate_multihost,
     shard_batch_multihost,
 )
+from tpu_reid.parallel.prefetch import device_prefetch
 from tpu_reid.parallel.mesh import (
     data_sharding,
     make_mesh,
@@ -17,6 +18,7 @@ from tpu_reid.parallel.mesh import (
 )
 
 __all__ = [
+    "device_prefetch",
     "extract_embeddings",
     "extract_embeddings_multihost",
     "host_slice_records",

@@ -93,9 +93,15 @@ class TrainGuard:
         self._snap: Optional[tuple] = None
         self._step = 0
 
+    def will_snapshot(self, step: int) -> bool:
+        """True when maybe_snapshot(step, ...) would capture state — lets a
+        pipelined loop drain its in-flight loss first, so a snapshot never
+        records parameters whose producing step is still unverified."""
+        return self._snap is None or step % self.snapshot_every == 0
+
     def maybe_snapshot(self, step: int, *state: Any):
         self._step = step
-        if self._snap is None or step % self.snapshot_every == 0:
+        if self.will_snapshot(step):
             self._snap = (step, tuple(_to_host(s) for s in state))
 
     def check(self, loss: float, *state: Any):

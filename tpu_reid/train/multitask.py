@@ -398,6 +398,21 @@ def run_mt_stage1(
         make_mt_stage1_step(cfg, optimizer, t, mesh=mesh) for t in (0, 1)
     ]
     place = TR._batch_placer(mesh)
+
+    def _get_state():
+        return trainable, opt_state
+
+    def _set_state(state):
+        nonlocal trainable, opt_state
+        trainable, opt_state = state
+
+    pipe = TR.LossPipeline(guard, _get_state, _set_state)
+    from tpu_reid.parallel.prefetch import device_prefetch
+
+    def place_batch(item):
+        task, (images, labels, valid) = item
+        return task, place((images, labels, TR._as_device_array(valid)))
+
     gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
     gpa = init_gpa
     gstep = 0
@@ -405,28 +420,25 @@ def run_mt_stage1(
         opt_state = O.set_lr(
             opt_state, S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
         )
-        losses = []
-        for task, (images, labels, valid) in epoch_batches(epoch):
-            images, labels, valid = place(
-                (images, labels, TR._as_device_array(valid))
-            )
-            if guard is not None:
-                guard.maybe_snapshot(gstep, trainable, opt_state)
-            trainable, opt_state, loss = steps[task](
-                trainable, frozen, opt_state, images, labels, valid,
-            )
-            gstep += 1
-            lf = float(loss)
-            if guard is not None:
-                (trainable, opt_state), ok = guard.check(
-                    lf, trainable, opt_state
+        for task, (images, labels, valid) in device_prefetch(
+            epoch_batches(epoch), place_batch
+        ):
+            pipe.before_step(gstep)
+
+            def dispatch(task=task, images=images, labels=labels,
+                         valid=valid):
+                nonlocal trainable, opt_state
+                trainable, opt_state, loss = steps[task](
+                    trainable, frozen, opt_state, images, labels, valid,
                 )
-                if not ok:
-                    continue
-            losses.append(lf)
-            if len(losses) % 50 == 1:
-                log(f"[mt-stage1] epoch {epoch} step {len(losses)} "
-                    f"loss {losses[-1]:.4f}")
+                return loss
+
+            gstep += 1
+            pipe.after_step(dispatch(), redo=dispatch)
+            if len(pipe.losses) % 50 == 1:
+                log(f"[mt-stage1] epoch {epoch} step {len(pipe.losses)} "
+                    f"loss {pipe.losses[-1]:.4f}")
+        losses = pipe.drain_epoch()
         # stage-1 GPA only for the ivlp variant: the plain hard-sharing
         # script has its stage-1 averaging commented out
         # (reference: ..._hard_sharing.py:314,461-466 vs
@@ -485,6 +497,20 @@ def run_mt_stage2(
     xbms = (list(init_xbms) if init_xbms is not None
             else [X.init_xbm(xbm_capacity, dim), X.init_xbm(xbm_capacity, dim)])
 
+    def _get_state():
+        return trainable, frozen, opt_state, xbms[0], xbms[1]
+
+    def _set_state(state):
+        nonlocal trainable, frozen, opt_state
+        trainable, frozen, opt_state, xbms[0], xbms[1] = state
+
+    pipe = TR.LossPipeline(guard, _get_state, _set_state)
+    from tpu_reid.parallel.prefetch import device_prefetch
+
+    def place_batch(item):
+        task, (images, labels, valid) = item
+        return task, place((images, labels, TR._as_device_array(valid)))
+
     gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
     gpa = init_gpa
     gstep = 0
@@ -493,32 +519,26 @@ def run_mt_stage2(
             opt_state, S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
         )
         use_xbm = jnp.asarray(epoch >= xbm_start_epoch)
-        losses = []
-        for task, (images, labels, valid) in epoch_batches(epoch):
-            images, labels, valid = place(
-                (images, labels, TR._as_device_array(valid))
-            )
-            if guard is not None:
-                guard.maybe_snapshot(
-                    gstep, trainable, frozen, opt_state, xbms[0], xbms[1]
+        for task, (images, labels, valid) in device_prefetch(
+            epoch_batches(epoch), place_batch
+        ):
+            pipe.before_step(gstep)
+
+            def dispatch(task=task, images=images, labels=labels,
+                         valid=valid, use_xbm=use_xbm):
+                nonlocal trainable, frozen, opt_state
+                trainable, frozen, opt_state, xbms[task], loss = steps[task](
+                    trainable, frozen, opt_state, images, labels,
+                    text_features[task], xbms[task], use_xbm, valid,
                 )
-            trainable, frozen, opt_state, xbms[task], loss = steps[task](
-                trainable, frozen, opt_state, images, labels,
-                text_features[task], xbms[task], use_xbm, valid,
-            )
+                return loss
+
             gstep += 1
-            lf = float(loss)
-            if guard is not None:
-                state, ok = guard.check(
-                    lf, trainable, frozen, opt_state, xbms[0], xbms[1]
-                )
-                trainable, frozen, opt_state, xbms[0], xbms[1] = state
-                if not ok:
-                    continue
-            losses.append(lf)
-            if len(losses) % 50 == 1:
-                log(f"[mt-stage2] epoch {epoch + 1} step {len(losses)} "
-                    f"loss {losses[-1]:.4f}")
+            pipe.after_step(dispatch(), redo=dispatch)
+            if len(pipe.losses) % 50 == 1:
+                log(f"[mt-stage2] epoch {epoch + 1} step {len(pipe.losses)} "
+                    f"loss {pipe.losses[-1]:.4f}")
+        losses = pipe.drain_epoch()
         gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
         if losses:
             log(f"[mt-stage2] epoch {epoch + 1}/{epochs} loss {np.mean(losses):.4f}")

@@ -225,6 +225,74 @@ def _jit_step(step, mesh, n_state: int, n_batch: int):
     )
 
 
+class LossPipeline:
+    """Lag-1 loss resolution: step N's scalar loss is fetched only after
+    step N+1 has been dispatched, so the host->device round-trip (25-30 ms
+    through a remote tunnel) hides under the next step's execution instead
+    of serializing the loop. Paired with parallel.prefetch.device_prefetch
+    this keeps the chip saturated: transfers and preprocess for batch N+1
+    enqueue while step N runs, and the loss fetch never stalls dispatch
+    (VERDICT r2 #2; the reference only overlaps host decode,
+    data_prepare.py:207).
+
+    Guard semantics are preserved exactly: before a snapshot step, the
+    pending loss is drained first, so a snapshot can never capture
+    parameters whose producing step later turns out non-finite. On a
+    rollback, the already-dispatched next step's output (computed from the
+    poisoned state) is discarded along with its loss, matching the
+    synchronous loop's skip-this-batch behavior.
+
+    get_state() -> tuple / set_state(tuple) close over the caller's live
+    state variables (trainable, [frozen,] opt_state, ...).
+    """
+
+    def __init__(self, guard, get_state, set_state):
+        self.guard = guard
+        self.get_state = get_state
+        self.set_state = set_state
+        self.losses: list = []
+        self._pending = None
+
+    def before_step(self, gstep: int):
+        if self.guard is not None:
+            if self._pending is not None and self.guard.will_snapshot(gstep):
+                self._resolve()
+            self.guard.maybe_snapshot(gstep, *self.get_state())
+
+    def after_step(self, loss, redo=None):
+        """Call right after dispatching a step. `redo()` re-executes that
+        same step from the caller's (possibly rolled-back) state and
+        returns its loss — invoked when the LAGGED loss turns out
+        non-finite, so the just-dispatched step (whose input state was
+        poisoned) is replayed instead of lost, reproducing the synchronous
+        loop's semantics exactly: the diverged batch is skipped, the next
+        batch is consumed from the restored state."""
+        if self._pending is not None and not self._resolve():
+            loss = redo() if redo is not None else None
+        self._pending = loss
+
+    def _resolve(self) -> bool:
+        lf = float(self._pending)
+        self._pending = None
+        if self.guard is not None:
+            state, ok = self.guard.check(lf, *self.get_state())
+            if not ok:
+                self.set_state(state)
+                return False
+        self.losses.append(lf)
+        return True
+
+    def drain_epoch(self) -> list:
+        """Resolve the in-flight loss and hand back (and reset) the epoch's
+        losses — call before any epoch-boundary consumer of the state
+        (GPA update, checkpoint_cb, logging)."""
+        if self._pending is not None:
+            self._resolve()
+        out = self.losses
+        self.losses = []
+        return out
+
+
 def make_stage1_step(cfg: M.ReidModelConfig, optimizer, cached: bool,
                      mesh=None):
     """Jitted stage-1 step. cached=True: batch carries precomputed image
@@ -356,17 +424,15 @@ def run_stage1(
         n = labels.shape[0]
         rng = np.random.default_rng(seed)
 
-    def guarded_step(gstep, batch):
+    def _get_state():
+        return trainable, opt_state
+
+    def _set_state(state):
         nonlocal trainable, opt_state
-        if guard is not None:
-            guard.maybe_snapshot(gstep, trainable, opt_state)
-        trainable, opt_state, loss = step(trainable, frozen, opt_state, batch)
-        lf = float(loss)
-        if guard is not None:
-            (trainable, opt_state), ok = guard.check(lf, trainable, opt_state)
-            if not ok:
-                return None
-        return lf
+        trainable, opt_state = state
+
+    pipe = LossPipeline(guard, _get_state, _set_state)
+    from tpu_reid.parallel.prefetch import device_prefetch
 
     gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
     gpa = init_gpa
@@ -375,7 +441,6 @@ def run_stage1(
     for epoch in range(start_epoch, epochs + 1):
         lr = S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
         opt_state = O.set_lr(opt_state, lr)
-        losses = []
         if cached:
             if bs is None:
                 bs = min(batch_size, n)
@@ -384,7 +449,8 @@ def run_stage1(
             else:
                 order = rng.permutation(n)
                 sels = (order[i : i + bs] for i in range(0, n, bs))
-            for sel in sels:
+
+            def cached_batch(sel):
                 sel = np.asarray(sel)
                 k = sel.shape[0]
                 valid = np.ones((bs,), bool)
@@ -392,17 +458,16 @@ def run_stage1(
                     # prompt_learning.py:434-441) — masked out of the loss
                     valid[k:] = False
                     sel = np.concatenate([sel, np.zeros((bs - k,), sel.dtype)])
-                batch = place({
+                return place({
                     "image_features": feats[sel],
                     "labels": labels[sel],
                     "valid": jnp.asarray(valid),
                 })
-                lf = guarded_step(gstep, batch)
-                gstep += 1
-                if lf is not None:
-                    losses.append(lf)
+
+            batches = device_prefetch(sels, cached_batch)
         else:
-            for images, lab, valid, *rest in epoch_batches(epoch):
+            def live_batch(item):
+                images, lab, valid, *rest = item
                 batch = {
                     "images": images,
                     "labels": lab,
@@ -410,11 +475,22 @@ def run_stage1(
                 }
                 if rest:  # camera ids for SIE
                     batch["cv_ids"] = _as_device_array(rest[0])
-                batch = place(batch)
-                lf = guarded_step(gstep, batch)
-                gstep += 1
-                if lf is not None:
-                    losses.append(lf)
+                return place(batch)
+
+            batches = device_prefetch(epoch_batches(epoch), live_batch)
+        for batch in batches:
+            pipe.before_step(gstep)
+
+            def dispatch(batch=batch):
+                nonlocal trainable, opt_state
+                trainable, opt_state, loss = step(
+                    trainable, frozen, opt_state, batch
+                )
+                return loss
+
+            gstep += 1
+            pipe.after_step(dispatch(), redo=dispatch)
+        losses = pipe.drain_epoch()
         if cfg.mode == "promptsrc":
             gpa = O.gpa_update(
                 gpa, O.combine(trainable, frozen), gw[epoch - 1]
@@ -552,36 +628,47 @@ def run_stage2(
     step = make_stage2_step(cfg, tcfg, optimizer, mesh=mesh)
     place = _batch_placer(mesh)
 
+    def _get_state():
+        return trainable, frozen, opt_state
+
+    def _set_state(state):
+        nonlocal trainable, frozen, opt_state
+        trainable, frozen, opt_state = state
+
+    pipe = LossPipeline(guard, _get_state, _set_state)
+    from tpu_reid.parallel.prefetch import device_prefetch
+
+    def place_batch(item):
+        images, labels, valid, *rest = item
+        extra = ()
+        if cfg.sie_ids > 0:  # camera ids ride as a trailing element
+            assert rest, "sie_ids > 0: batches must carry camera ids"
+            extra = (_as_device_array(rest[0]),)
+        return place((images, labels, _as_device_array(valid)) + extra)
+
     gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
     gpa = init_gpa
     gstep = 0
     for epoch in range(start_epoch, epochs):
         lr = S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
         opt_state = O.set_lr(opt_state, lr)
-        losses = []
-        for images, labels, valid, *rest in epoch_batches(epoch):
-            if guard is not None:
-                guard.maybe_snapshot(gstep, trainable, frozen, opt_state)
-            extra = ()
-            if cfg.sie_ids > 0:  # camera ids ride as a trailing element
-                assert rest, "sie_ids > 0: batches must carry camera ids"
-                extra = (_as_device_array(rest[0]),)
-            images, labels, valid, *extra = place(
-                (images, labels, _as_device_array(valid)) + extra
-            )
-            trainable, frozen, opt_state, loss = step(
-                trainable, frozen, opt_state, images, labels, text_features,
-                valid, *extra,
-            )
-            gstep += 1
-            lf = float(loss)
-            if guard is not None:
-                (trainable, frozen, opt_state), ok = guard.check(
-                    lf, trainable, frozen, opt_state
+        for images, labels, valid, *extra in device_prefetch(
+            epoch_batches(epoch), place_batch
+        ):
+            pipe.before_step(gstep)
+
+            def dispatch(images=images, labels=labels, valid=valid,
+                         extra=tuple(extra)):
+                nonlocal trainable, frozen, opt_state
+                trainable, frozen, opt_state, loss = step(
+                    trainable, frozen, opt_state, images, labels,
+                    text_features, valid, *extra,
                 )
-                if not ok:
-                    continue
-            losses.append(lf)
+                return loss
+
+            gstep += 1
+            pipe.after_step(dispatch(), redo=dispatch)
+        losses = pipe.drain_epoch()
         if cfg.mode == "promptsrc":
             gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
         if losses:
