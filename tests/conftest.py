@@ -28,3 +28,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: anything not explicitly marked ``slow`` is ``fast``.
+
+    ``pytest -m fast`` is the sub-2-minute tier that still touches every
+    module; ``pytest -m slow`` (or no ``-m``) adds the full-geometry
+    oracles, CLI e2e runs, trainer epochs and multihost tests.
+    """
+    import pytest
+
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)
+

@@ -1,0 +1,77 @@
+"""End-to-end test for the real-data parity harness.
+
+Runs ``tpu_reid.tools.parity_run`` exactly as a user would
+(`main(["--synthetic", "--baseline", ...])`): generates a Market-layout
+workload + tiny CLIP checkpoint, extracts features, runs the framework's
+on-device retrieval tail AND the bundled numpy re-implementation of the
+reference's evaluation math (reference: evaluate.py:29-88), and asserts
+they agree. Also checks the BASELINE.json "published" record is written.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpu_reid.tools import parity_run
+
+
+pytestmark = pytest.mark.slow  # full extract pipeline; ~1-2 min on CPU
+
+
+def test_ref_cmc_map_short_kept_rows():
+    """Queries whose keep-filter leaves fewer than max_rank gallery rows
+    must pad the CMC curve, not crash (the round-3 regression)."""
+    # 1 query, 3 gallery rows; one gallery row is same-pid same-cam (dropped)
+    dist = np.array([[0.1, 0.2, 0.3]])
+    q_pids, g_pids = np.array([7]), np.array([7, 7, 5])
+    q_cams, g_cams = np.array([0]), np.array([0, 1, 0])
+    cmc, mAP = parity_run.ref_cmc_map(
+        dist, q_pids, g_pids, q_cams, g_cams, max_rank=10
+    )
+    assert cmc.shape == (3,)  # max_rank clamps to n_g
+    # kept rows = [g1 (pid7,cam1), g2 (pid5,cam0)]; hit at rank 1
+    np.testing.assert_allclose(cmc, [1.0, 1.0, 1.0])
+    assert mAP == 1.0
+
+    # now force kept rows < max_rank after the n_g clamp: 5 gallery rows,
+    # 2 dropped -> found has 3 entries but max_rank stays 5
+    dist = np.array([[0.1, 0.2, 0.3, 0.4, 0.5]])
+    g_pids = np.array([7, 7, 5, 7, 6])
+    g_cams = np.array([0, 0, 0, 1, 0])
+    cmc, mAP = parity_run.ref_cmc_map(
+        dist, q_pids, g_pids, q_cams, g_cams, max_rank=5
+    )
+    assert cmc.shape == (5,)
+    np.testing.assert_allclose(cmc, [0.0, 1.0, 1.0, 1.0, 1.0])
+
+
+def test_parity_run_synthetic_end_to_end(tmp_path):
+    baseline = tmp_path / "BASELINE.json"
+    baseline.write_text(json.dumps({"published": {}}))
+    result = parity_run.main([
+        "--synthetic",
+        "--synthetic_dir", str(tmp_path / "assets"),
+        "--baseline", str(baseline),
+        "--bs", "16",
+    ])
+    assert result["synthetic"] is True
+    assert result["n_query"] == 12 and result["n_gallery"] == 48
+    # the harness asserts this internally too; restate the contract here
+    assert result["max_abs_diff"] <= 2e-3
+    rec = json.loads(baseline.read_text())["published"]["market1501_synthetic"]
+    assert rec["framework"]["mAP"] == pytest.approx(
+        rec["reference_math"]["mAP"], abs=2e-3
+    )
+
+
+def test_parity_run_synthetic_mm(tmp_path):
+    """Multimodal (image+text fused) scoring path through the same harness."""
+    result = parity_run.main([
+        "--synthetic",
+        "--synthetic_dir", str(tmp_path / "assets"),
+        "--mm",
+        "--bs", "16",
+    ])
+    assert result["max_abs_diff"] <= 2e-3
+    assert ", mm" in result["protocol"]

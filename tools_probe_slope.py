@@ -37,11 +37,12 @@ def main():
         @jax.jit
         def body(p, im):
             def step(carry, _):
-                # perturb the input by the carry so each iteration's embed
-                # depends on the previous one — XLA cannot hoist the encoder
-                # out of the loop (advisor finding r2)
-                x = pp.eval_batch(im)
-                x = x + (carry * 1e-8).astype(x.dtype)
+                # make the RAW input carry-dependent so neither the
+                # preprocess nor the encoder can be hoisted out of the
+                # loop (advisor finding r2); the select is never taken
+                # (carry stays finite/small) so values are unperturbed
+                im_k = jnp.where(carry > 1e30, im ^ jnp.uint8(1), im)
+                x = pp.eval_batch(im_k)
                 f = M.eval_embed(p, mcfg, x)
                 return carry + f[0, 0].astype(jnp.float32), None
 

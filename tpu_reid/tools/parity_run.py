@@ -81,6 +81,16 @@ def ref_cmc_map(
         if n_rel == 0:  # query pid absent from the (cross-camera) gallery
             continue
         found = np.minimum(np.cumsum(hits), 1.0)
+        if found.size < max_rank:
+            # Queries whose same-pid/same-cam filter leaves fewer than
+            # max_rank gallery rows produce a short CMC curve; past the
+            # last kept row the first-hit indicator stays at its final
+            # value (1.0 here, since n_rel > 0 guarantees a hit among the
+            # kept rows). The reference's per-query cmc[:max_rank] slices
+            # only ever shorten (evaluate.py:65-68) because its galleries
+            # dwarf max_rank; for small (synthetic) galleries we must pad.
+            found = np.pad(found, (0, max_rank - found.size),
+                           constant_values=found[-1])
         cmc_sum += found[:max_rank]
         precision = np.cumsum(hits) / np.arange(1, hits.size + 1)
         aps.append(float((precision * hits).sum() / n_rel))
@@ -277,8 +287,11 @@ def run_parity(args) -> dict:
     )
 
     if args.baseline:
-        with open(args.baseline) as f:
-            baseline = json.load(f)
+        try:
+            with open(args.baseline) as f:
+                baseline = json.load(f)
+        except FileNotFoundError:
+            baseline = {}
         key = args.test_dataset + ("_synthetic" if args.synthetic else "")
         baseline.setdefault("published", {})[key] = result
         with open(args.baseline, "w") as f:
