@@ -146,6 +146,78 @@ def test_rn50_conversion_and_forward():
     assert e.shape == (2, 16 * 8 * 4 + 24)
 
 
+def test_rn50x4_shaped_conversion_and_forward():
+    """RN50x4-shaped checkpoint (true width/depth ratios, reduced scale):
+    heterogeneous stage depths (4, 6, 10, 6), width not a power-of-two
+    multiple of 64, embed_dim != width*16. The reference ships RN50x4
+    (clip_custom.py:26-34); `infer_config` must recover the geometry from
+    shapes alone."""
+    rng = np.random.RandomState(7)
+    # RN50x4 is width=80, layers=(4,6,10,6), embed_dim=640; scale the width
+    # by 1/4 (20 -> attnpool dim 640/4=160) to keep the CPU forward cheap
+    # while preserving every shape relationship that distinguishes it.
+    sd = oracle.make_rn50_state_dict(
+        rng, width=20, layers=(4, 6, 10, 6), embed_dim=160,
+    )
+    cfg, params = convert_clip(sd, image_hw=(64, 32))
+    assert cfg.resnet is not None
+    assert cfg.resnet.width == 20
+    assert cfg.resnet.layers == (4, 6, 10, 6)
+    assert cfg.resnet.output_dim == 160
+    assert cfg.resnet.heads == 20 * 32 // 64
+    assert cfg.embed_dim == 160
+
+    from tpu_reid.models import resnet as R
+
+    images = rng.randn(2, 64, 32, 3).astype(np.float32)
+    x3, x4, xproj = R.apply_resnet(params["visual"], cfg.resnet,
+                                   jnp.asarray(images))
+    assert x4.shape == (2, 4, 2, 20 * 8 * 4)
+    assert xproj.shape == (2, 9, 160)
+    assert np.isfinite(np.asarray(xproj)).all()
+
+
+def test_rn101_shaped_conversion_and_forward():
+    """RN101-shaped checkpoint: (3, 4, 23, 3) stage depths — exercises the
+    two-digit block index in infer_config's layer-count regex and the deep
+    layer3 chain (reference ships RN101, clip_custom.py:26-34)."""
+    rng = np.random.RandomState(8)
+    sd = oracle.make_rn50_state_dict(
+        rng, width=16, layers=(3, 4, 23, 3), embed_dim=128,
+    )
+    cfg, params = convert_clip(sd, image_hw=(64, 32))
+    assert cfg.resnet is not None
+    assert cfg.resnet.layers == (3, 4, 23, 3)
+    assert len(params["visual"]["layer3"]) == 23
+    np.testing.assert_array_equal(
+        params["visual"]["layer3"][15]["bn2"]["mean"],
+        sd["visual.layer3.15.bn2.running_mean"],
+    )
+
+    from tpu_reid.models import resnet as R
+
+    images = rng.randn(2, 64, 32, 3).astype(np.float32)
+    _, x4, xproj = R.apply_resnet(params["visual"], cfg.resnet,
+                                  jnp.asarray(images))
+    assert x4.shape == (2, 4, 2, 16 * 8 * 4)
+    assert xproj.shape == (2, 9, 128)
+    assert np.isfinite(np.asarray(xproj)).all()
+
+
+def test_vit_b32_shaped_inference():
+    """ViT-B/32-shaped: patch 32 at native stride (no overlap) — the
+    remaining vision geometry in the reference's checkpoint table."""
+    rng = np.random.RandomState(9)
+    sd = oracle.make_clip_state_dict(rng, patch=16, grid=4)
+    cfg, params = convert_clip(sd, image_hw=(64, 48))
+    assert cfg.vision is not None
+    assert cfg.vision.patch_size == 16
+    assert cfg.vision.stride == 16
+    assert (cfg.vision.h_grid, cfg.vision.w_grid) == (4, 3)
+    # pos embed resized from the 4x4 checkpoint grid to 4x3
+    assert params["visual"]["positional_embedding"].shape == (13, 64)
+
+
 def test_rn50_bn_stats_loaded():
     rng = np.random.RandomState(4)
     sd = oracle.make_rn50_state_dict(rng)
