@@ -9,6 +9,8 @@ import pytest
 
 import tests.torch_oracle as oracle
 
+pytestmark = pytest.mark.slow  # CLI e2e runs; one smoke stays fast
+
 
 @pytest.fixture(scope="module")
 def assets(tmp_path_factory):
@@ -78,6 +80,7 @@ def assets(tmp_path_factory):
     return {"root": str(root), "ckpt": ckpt, "merges": merges, "attr": attr}
 
 
+@pytest.mark.fast
 def test_zero_shot_cli(assets, monkeypatch):
     from tpu_reid.cli import zero_shot as cli
 

@@ -28,6 +28,7 @@ def test_infer_config_vit():
     assert params["visual"]["conv"]["w"].shape == (8, 8, 3, 64)
 
 
+@pytest.mark.slow
 def test_vit_parity_square():
     cfg, params = convert_clip(SD, image_hw=(32, 32), stride=8)
     images = RNG.randn(2, 32, 32, 3).astype(np.float32)
@@ -114,6 +115,7 @@ def test_ivlp_vpt_keys_consumed():
     )
 
 
+@pytest.mark.slow
 def test_rn50_conversion_and_forward():
     """RN checkpoint: shape inference, weight mapping, zero-shot embed."""
     rng = np.random.RandomState(3)
@@ -146,6 +148,7 @@ def test_rn50_conversion_and_forward():
     assert e.shape == (2, 16 * 8 * 4 + 24)
 
 
+@pytest.mark.slow
 def test_rn50x4_shaped_conversion_and_forward():
     """RN50x4-shaped checkpoint (true width/depth ratios, reduced scale):
     heterogeneous stage depths (4, 6, 10, 6), width not a power-of-two
@@ -177,6 +180,7 @@ def test_rn50x4_shaped_conversion_and_forward():
     assert np.isfinite(np.asarray(xproj)).all()
 
 
+@pytest.mark.slow
 def test_rn101_shaped_conversion_and_forward():
     """RN101-shaped checkpoint: (3, 4, 23, 3) stage depths — exercises the
     two-digit block index in infer_config's layer-count regex and the deep
@@ -260,6 +264,7 @@ def test_metaclip_hf_bin_roundtrip(tmp_path):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_vit_b16_full_geometry_parity():
     """Full flagship geometry: real ViT-B/16 dimensions (768x12, heads 12)
     at 256x128 stride 12 (S=211), converted from a random OpenAI-format

@@ -278,6 +278,7 @@ def test_device_flip():
     np.testing.assert_allclose(flipped, plain[:, :, ::-1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_device_random_erasing():
     import jax
     import jax.numpy as jnp
@@ -292,6 +293,7 @@ def test_device_random_erasing():
     assert (y2 == 0).all()
 
 
+@pytest.mark.slow
 def test_train_batch_shapes():
     import jax
     import jax.numpy as jnp

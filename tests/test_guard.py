@@ -42,6 +42,7 @@ def test_guard_budget_trips():
         g.check(float("nan"), {"w": jnp.ones(1)})
 
 
+@pytest.mark.slow
 def test_stage2_recovers_from_poisoned_batch():
     """One NaN-image batch mid-epoch: the run finishes, parameters are
     finite, and exactly one restore event is recorded."""
@@ -62,6 +63,7 @@ def test_stage2_recovers_from_poisoned_batch():
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
 def test_stage2_poisoned_equals_skipping_the_batch():
     """Rollback semantics: a poisoned batch leaves exactly the state the
     run would have had if the batch had never been delivered."""
@@ -85,6 +87,7 @@ def test_stage2_poisoned_equals_skipping_the_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stage1_live_guard():
     mcfg, params = tiny_model("ivlp")
     batches = fake_batches(2, bs=8)

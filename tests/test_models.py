@@ -80,6 +80,7 @@ def test_causal_masked_attention_matches_torch():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_residual_block_matches_torch_composition():
     rng = np.random.default_rng(2)
     d, h, s, b = 48, 4, 6, 2
@@ -121,6 +122,7 @@ def test_residual_block_matches_torch_composition():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_vit_triple_output_shapes_and_stride():
     design = PromptDesign(trainer="IVLP", vision_depth=12, vision_ctx=2,
                           language_depth=12, language_ctx=2)
@@ -139,6 +141,7 @@ def test_vit_triple_output_shapes_and_stride():
     assert xproj.shape == (2, s, 32)
 
 
+@pytest.mark.slow
 def test_deep_prompts_change_output_only_when_enabled():
     rng = np.random.default_rng(4)
     imgs = jnp.asarray(rng.normal(size=(1, 64, 32, 3)), jnp.float32)
@@ -179,6 +182,7 @@ def test_vision_splice_replaces_tail():
     np.testing.assert_array_equal(np.asarray(y[:, 3:]), 9 * np.ones((1, 2, 2)))
 
 
+@pytest.mark.slow
 def test_eot_pooling_is_causal():
     cfg = TextConfig(layers=2, width=32, heads=2, vocab_size=100,
                      context_length=12, output_dim=16)
@@ -208,6 +212,7 @@ def test_resize_pos_embed_matches_torch_bicubic():
     np.testing.assert_allclose(got[1:], want_grid, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_jpm_shapes_and_shuffle():
     f = jnp.arange(1 * 6 * 2, dtype=jnp.float32).reshape(1, 6, 2)
     y = V.shuffle_unit(f, shift=2, group=1)
@@ -224,6 +229,7 @@ def test_jpm_shapes_and_shuffle():
     assert out.shape == (2, 9, 32)
 
 
+@pytest.mark.slow
 def test_residual_block_cls_matches_full_block():
     """CLS-only last block == full block restricted to position 0 (exact)."""
     d, h, s, b = 48, 4, 13, 3
@@ -238,6 +244,7 @@ def test_residual_block_cls_matches_full_block():
     )
 
 
+@pytest.mark.slow
 def test_apply_vit_cls_only_matches_full():
     """cls_only path (incl. deep-prompt splice before the last block) agrees
     with the full forward at position 0 for all three feature levels."""
@@ -260,6 +267,7 @@ def test_apply_vit_cls_only_matches_full():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_residual_block_cls_gradients_match():
     """For a CLS-only loss, gradients through the cls block equal gradients
     through the full block — the trainers can use the fast path."""
@@ -293,6 +301,7 @@ def test_patch_embed_conv_matches_gemm_decomposition():
     )
 
 
+@pytest.mark.slow
 def test_fold_input_norm_matches_normalized_path():
     """folded=True extraction on raw uint8 equals the normalize-then-embed
     path (models.reid_clip.fold_input_norm): affine normalization folded

@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # every test spawns 2-process gloo children
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

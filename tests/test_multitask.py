@@ -17,6 +17,8 @@ from tpu_reid.train import xbm as X
 from tpu_reid.train.trainer import TrainConfig
 from tpu_reid.weights.convert import convert_clip
 
+pytestmark = pytest.mark.slow  # multitask e2e; pure-logic tests stay fast
+
 RNG = np.random.RandomState(0)
 
 
@@ -140,6 +142,7 @@ def test_hard_stage2_with_xbm():
                                atol=1e-6)
 
 
+@pytest.mark.fast
 def test_xbm_ring_buffer():
     st = X.init_xbm(8, 4)
     assert not bool(X.xbm_is_full(st))
@@ -312,6 +315,7 @@ def test_mt_padded_batch_changes_nothing():
     assert (np.asarray(lab_pad)[k:12] == -1).all()
 
 
+@pytest.mark.fast
 def test_mt_xbm_margin_matches_reference():
     """Both hard-sharing scripts use WeightedRegularizedTripletXBM(0.3) —
     a margin-ranking loss — not the soft-margin form (reference:
@@ -340,6 +344,7 @@ def test_mt_xbm_margin_matches_reference():
     assert abs(margin03 - float(want)) < 1e-4
 
 
+@pytest.mark.fast
 def test_alternation_semantics():
     """alternate (AND) stops at the shorter iterator; alternate_longest /
     chain_tasks_longest (OR) drain both."""

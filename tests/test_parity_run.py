@@ -16,9 +16,6 @@ import pytest
 from tpu_reid.tools import parity_run
 
 
-pytestmark = pytest.mark.slow  # full extract pipeline; ~1-2 min on CPU
-
-
 def test_ref_cmc_map_short_kept_rows():
     """Queries whose keep-filter leaves fewer than max_rank gallery rows
     must pad the CMC curve, not crash (the round-3 regression)."""
@@ -46,6 +43,7 @@ def test_ref_cmc_map_short_kept_rows():
     np.testing.assert_allclose(cmc, [0.0, 1.0, 1.0, 1.0, 1.0])
 
 
+@pytest.mark.slow
 def test_parity_run_synthetic_end_to_end(tmp_path):
     baseline = tmp_path / "BASELINE.json"
     baseline.write_text(json.dumps({"published": {}}))
@@ -65,6 +63,7 @@ def test_parity_run_synthetic_end_to_end(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_parity_run_synthetic_mm(tmp_path):
     """Multimodal (image+text fused) scoring path through the same harness."""
     result = parity_run.main([

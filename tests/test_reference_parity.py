@@ -58,6 +58,7 @@ def _assert_rerank_close(ours: np.ndarray, ref) -> None:
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_cmc_map_matches_reference(reference_modules, seed):
     import torch
 
@@ -111,6 +112,7 @@ def test_rerank_matches_reference(reference_modules):
     _assert_rerank_close(ours, ref_dist)
 
 
+@pytest.mark.slow
 def test_rerank_eval_params_match_reference(reference_modules):
     """The eval-path parameters k1=50, k2=15 (evaluate.py:127). With k1
     covering ~40% of this small population, fp32 LSB differences in the

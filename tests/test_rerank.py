@@ -55,6 +55,7 @@ def test_rerank_blocks_do_not_change_result():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_rerank_single_shard_consistent():
     """One shard == the unsharded core modulo the per-matrix row
     normalization (a monotone rescale): rankings must agree."""
@@ -123,6 +124,7 @@ def test_sharded_rerank_improves_over_plain_distance():
     assert map_rr > map_plain - 0.02
 
 
+@pytest.mark.slow
 def test_evaluator_auto_switches_to_streamed():
     """Above rerank_exact_limit, mode='auto' selects the STREAMED
     exact-neighborhood path (chunked blend + row-streamed metrics) whose

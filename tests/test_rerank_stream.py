@@ -29,6 +29,7 @@ def _workload(seed=0, n_ids=30, nq=60, ng=200, d=32, noise=0.7):
     return qf, gf, ids_q, ids_g
 
 
+@pytest.mark.slow
 def test_streamed_fp32_matches_exact():
     """Without quantization the streamed pipeline (global blockwise ranks,
     sparse V via sort-dedup, scatter-add QE, min-sum contraction) is the
@@ -44,6 +45,7 @@ def test_streamed_fp32_matches_exact():
     np.testing.assert_allclose(streamed, exact, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_streamed_fp32_odd_blocks_invariant():
     """Block sizes are an implementation detail: odd row/col blocks must
     not change results."""
@@ -63,6 +65,7 @@ def test_streamed_fp32_odd_blocks_invariant():
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_streamed_k2_1_no_query_expansion():
     qf, gf, _, _ = _workload(seed=5)
     exact = np.asarray(k_reciprocal_rerank(qf, gf, k1=20, k2=1))
@@ -75,6 +78,7 @@ def test_streamed_k2_1_no_query_expansion():
     np.testing.assert_allclose(streamed, exact, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_streamed_quantized_map_parity():
     """Production dtypes (bf16 sparse V, fp8 V_qe): the metric the
     quantization must preserve is mAP/CMC, not raw distances. Uses noise
@@ -129,6 +133,7 @@ def test_minsum_zero_padding_exact():
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_streamed_rows_match_dense():
     """The chunked row provider must reconstruct the dense streamed result
     exactly (same pipeline, blend sliced per chunk) — including a tail
@@ -167,6 +172,7 @@ def test_streamed_rows_match_dense():
     np.testing.assert_allclose(float(map_r), float(map_d), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_evaluator_streamed_mode():
     """Evaluator(rerank_mode='streamed') runs the streamed path end to end
     and lands within tolerance of rerank_mode='exact'."""
@@ -191,6 +197,7 @@ def test_evaluator_streamed_mode():
     assert abs(results["exact"][0][0] - results["streamed"][0][0]) < 0.02
 
 
+@pytest.mark.slow
 def test_streamed_sharded_matches_single_device():
     """The multi-chip streamed path (every pass row-sharded over the
     8-device mesh, gallery-side V_qe and t left sharded) computes the
@@ -211,6 +218,7 @@ def test_streamed_sharded_matches_single_device():
         np.testing.assert_allclose(sharded, single, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_streamed_sharded_rows_and_evaluator():
     """Mesh-sharded rows provider + Evaluator(mesh=...) reproduce the
     single-device streamed metrics exactly."""

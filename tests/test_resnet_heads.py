@@ -15,6 +15,7 @@ CFG = ResNetConfig(layers=(1, 1, 1, 1), width=16, output_dim=12,
                    h_grid=4, w_grid=2)
 
 
+@pytest.mark.slow
 def test_resnet_shapes():
     params = R.init_resnet(jax.random.key(0), CFG)
     images = jnp.zeros((2, 64, 32, 3))
@@ -65,6 +66,7 @@ def test_batch_norm_matches_torch():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_bottleneck_residual_identity_path():
     # stride-1, matching channels -> no downsample branch in params
     p = R.init_bottleneck(jax.random.key(1), 16 * 4, 16, stride=1)
@@ -73,6 +75,7 @@ def test_bottleneck_residual_identity_path():
     assert "down_conv" in p2
 
 
+@pytest.mark.slow
 def test_classifier_head():
     params = H.init_classifier(jax.random.key(0), n_classes=9)
     out = H.apply_classifier(

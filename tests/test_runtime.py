@@ -17,6 +17,7 @@ from tpu_reid.runtime.checkpoint import (
 from tpu_reid.runtime.observe import MetricLogger, StepTimer
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path):
     payload = {
         "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
@@ -31,6 +32,7 @@ def test_save_load_roundtrip(tmp_path):
     assert int(np.asarray(restored["epoch"])) == 7
 
 
+@pytest.mark.slow
 def test_manager_cadence_and_resume(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "run"), max_to_keep=2,
                             save_interval=20)

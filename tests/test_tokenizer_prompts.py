@@ -115,6 +115,7 @@ def test_ivlp_splice_geometry():
     np.testing.assert_allclose(np.asarray(prompts[0, 9:]), emb[0, 9:])
 
 
+@pytest.mark.slow
 def test_augmented_template_axis():
     cfg = P.PromptLearnerConfig.augmented(n_cls=5)
     emb, tokens = _fake_template(n_templates=4, length=12)
@@ -130,6 +131,7 @@ def test_augmented_template_axis():
     np.testing.assert_allclose(np.asarray(prompts[1, 2, :5]), emb[2, :5])
 
 
+@pytest.mark.slow
 def test_per_class_templates():
     n_cls = 6
     cfg = P.PromptLearnerConfig.veri(n_cls)
@@ -143,6 +145,7 @@ def test_per_class_templates():
     np.testing.assert_allclose(np.asarray(prompts[1, :4]), emb[5, :4])
 
 
+@pytest.mark.slow
 def test_caption_eot_shift():
     n_cls = 3
     cfg = P.PromptLearnerConfig.captions(n_cls)
@@ -155,6 +158,7 @@ def test_caption_eot_shift():
     assert int(eot[0]) == 11  # argmax 10 shifted by 4, clamped to L-1
 
 
+@pytest.mark.slow
 def test_all_class_prompts():
     cfg = P.PromptLearnerConfig.coop(n_cls=5)
     emb, tokens = _fake_template(length=12)
@@ -184,6 +188,7 @@ def test_veri_ivlp_template_geometry():
     assert words[3:7] == ["X", "X", "X", "X"]
 
 
+@pytest.mark.slow
 def test_augmented_text_encoding_mean_pools():
     """(B, T, L, D) prompts -> per-template encode -> mean over templates
     (reference TextEncoderAugmented, text_encoder.py:27-53)."""

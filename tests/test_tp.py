@@ -48,6 +48,7 @@ def test_tp_layout_roundtrip_single_block():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tp_vit_matches_plain_on_2x4_mesh():
     """apply_vit_tp over model=4 sharding == apply_vit, all three levels."""
     cfg, params = _cfg_params()
@@ -76,6 +77,7 @@ def test_tp_vit_matches_plain_on_2x4_mesh():
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_extractor_flip_tta_matches_plain():
     """End-to-end 2-D extractor (cls_only fast path + flip TTA) equals the
     single-device zero-shot embedding."""

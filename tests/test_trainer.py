@@ -16,6 +16,8 @@ from tpu_reid.train import optim as O
 from tpu_reid.train import trainer as TR
 from tpu_reid.weights.convert import convert_clip
 
+pytestmark = pytest.mark.slow  # train-step compiles are seconds each; three smokes stay fast
+
 RNG = np.random.RandomState(0)
 
 
@@ -75,6 +77,7 @@ def leaves_equal(a, b):
     )
 
 
+@pytest.mark.fast
 def test_partition_roundtrip():
     mcfg, params = tiny_model("coop")
     t, f = O.partition(params, lambda p: M.stage1_trainable(p, mcfg))
@@ -84,6 +87,7 @@ def test_partition_roundtrip():
     assert O.count_params(t) == np.prod(params["prompt_learner"]["cls_ctx"].shape)
 
 
+@pytest.mark.fast
 def test_stage1_coop_cached():
     mcfg, params = tiny_model("coop")
     batches = fake_batches()
