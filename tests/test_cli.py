@@ -595,3 +595,24 @@ def test_prompt_learning_cli_devices_bf16(assets, monkeypatch, tmp_path):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_cli_cache_device(assets, monkeypatch, tmp_path):
+    """--cache_device: whole train split staged in device memory once,
+    epochs served as on-device gathers (data/device_cache.py). Must land
+    the same final metrics pipeline as the host-loader path."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "coop", "--cache_device",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0

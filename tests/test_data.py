@@ -435,3 +435,44 @@ def test_synth_generator_layouts(tmp_path):
     px = get_dataset(str(tmp_path), "personx")
     assert px.num_train_pids == 4
     assert len(px.query) == 6 and len(px.gallery) == 12
+
+
+def test_device_cache_matches_host_loader(market_root):
+    """DeviceImageCache batches must be bit-identical to the host
+    BatchLoader path: same resize at build time, same PK order, same
+    padding/validity contract (data/device_cache.py)."""
+    import jax.numpy as jnp
+
+    from tpu_reid.data.device_cache import DeviceImageCache
+    from tpu_reid.data.loader import BatchLoader
+    from tpu_reid.data.sampler import PKSampler
+
+    ds = D.load_market1501(market_root)
+    hw = (32, 16)
+    cache = DeviceImageCache(ds.train, hw, chunk=5)
+    assert cache.n == len(ds.train)
+
+    labels = [r[1] for r in ds.train]
+    sampler = PKSampler(labels, 8, 4, seed=3)
+    order = list(sampler.epoch())
+    host = list(BatchLoader(ds.train, 8, hw, order=iter(order)))
+    dev = list(cache.epoch_index_batches(order, 8))
+    assert len(host) == len(dev)
+    for hb, (sel, pids, camids, valid) in zip(host, dev):
+        np.testing.assert_array_equal(hb.valid, valid)
+        np.testing.assert_array_equal(hb.pids, pids)
+        np.testing.assert_array_equal(hb.camids, camids)
+        imgs = np.asarray(cache.gather(sel))
+        # padded rows: loader zero-fills, cache gathers row 0 — both are
+        # masked by valid everywhere downstream; compare valid rows only
+        np.testing.assert_array_equal(hb.images[valid], imgs[valid])
+
+    # sequential (stage-1 epoch-0) order, tail padded
+    host = list(BatchLoader(ds.train, 5, hw))
+    dev = list(cache.epoch_index_batches(np.arange(cache.n), 5))
+    for hb, (sel, pids, _c, valid) in zip(host, dev):
+        np.testing.assert_array_equal(hb.valid, valid)
+        np.testing.assert_array_equal(hb.pids, pids)
+        np.testing.assert_array_equal(
+            hb.images[valid], np.asarray(cache.gather(sel))[valid]
+        )

@@ -111,6 +111,12 @@ def params_parser():
                    help="with --multihost: total number of processes")
     p.add_argument("--host_id", default=0, type=int,
                    help="with --multihost: this process's index")
+    p.add_argument("--cache_device", action="store_true",
+                   help="stage the whole train split in device HBM once "
+                        "(uint8, ~1.3 GB at Market scale) and serve every "
+                        "epoch's batches as an on-device gather — removes "
+                        "host decode + H2D transfer from the epoch loop "
+                        "(single-process runs only)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
     p.add_argument("--log_dir", default=None, type=str)
@@ -368,11 +374,40 @@ def main():
             f"--bs {args.bs} must divide by --devices {args.devices}"
         mesh = make_mesh(n_data=args.devices)
 
+    cache = None
+    if getattr(args, "cache_device", False):
+        # stage the whole train split in HBM once; every epoch's batches
+        # become an on-device gather + jitted transform — no host decode
+        # or H2D transfer in the epoch loop (data/device_cache.py)
+        assert mesh is None and not n_sie, (
+            "--cache_device is a single-process feature (no --devices/"
+            "--multihost) and does not carry SIE side-info ids"
+        )
+        from tpu_reid.data.device_cache import DeviceImageCache
+
+        import time as _t
+
+        t0 = _t.time()
+        cache = DeviceImageCache(dataset.train, (h, w))
+        log.log("cache_device", n=cache.n,
+                mb=round(cache.nbytes() / 2**20, 1),
+                upload_s=round(_t.time() - t0, 1))
+
     def stage1_batches(epoch):
         # stage 1 always consumes the VAL-transform loader — deterministic
         # resize+normalize, shuffled order — for both the cached and the
         # live (ivlp/promptsrc) paths (reference: prompt_learning.py:708-710
         # passes loader_train_val built with the val transform)
+        if cache is not None:
+            rng = np.random.default_rng(args.seed + epoch)
+            order = (rng.permutation(cache.n) if epoch > 0
+                     else np.arange(cache.n))
+            for sel, pids, _camids, valid in cache.epoch_index_batches(
+                order, args.bs, drop_tail=epoch > 0
+            ):
+                yield (pp.eval_batch(cache.gather(sel)),
+                       jnp.asarray(pids), valid)
+            return
         order = "shuffle" if epoch > 0 else None  # epoch 0 = cached precompute
         loader = BatchLoader(
             dataset.train, args.bs, (h, w), order=order,
@@ -389,10 +424,20 @@ def main():
     def stage2_batches(epoch):
         labels = [r[1] for r in dataset.train]
         sampler = PKSampler(labels, args.bs, 4, seed=args.seed + epoch)
+        k = jax.random.fold_in(key, 10_000 + epoch)
+        if cache is not None:
+            for i, (sel, pids, _camids, valid) in enumerate(
+                cache.epoch_index_batches(sampler.epoch(), args.bs)
+            ):
+                imgs = pp.train_batch(
+                    cache.gather(sel), jax.random.fold_in(k, i),
+                    pad_hw=(10, 10),
+                )
+                yield imgs, jnp.asarray(pids), valid
+            return
         loader = BatchLoader(
             dataset.train, args.bs, (h, w), order=sampler.epoch()
         )
-        k = jax.random.fold_in(key, 10_000 + epoch)
         for i, b in enumerate(loader):
             imgs = pp.train_batch(
                 jnp.asarray(b.images), jax.random.fold_in(k, i),
