@@ -15,7 +15,9 @@ from __graft_entry__ import _flagship
 from tpu_reid.models import reid_clip as M
 from tpu_reid.models import vit as V
 from tpu_reid.models import layers as L
+from tpu_reid.ops.attention import set_fast_softmax
 
+set_fast_softmax(True)  # match bench.py's throughput profile
 mcfg, params, (h, w) = _flagship()
 vcfg = mcfg.clip.vision
 

@@ -103,6 +103,7 @@ def multi_head_attention(
     softmax.
     """
     if _use_pallas() and x.dtype == jnp.bfloat16:
+        from tpu_reid.ops.attention import fast_softmax_enabled
         from tpu_reid.ops.fused_attention import fused_mha, mha_block_b
 
         if mha_block_b(x.shape[1], x.shape[2]) is None:
@@ -118,6 +119,7 @@ def multi_head_attention(
                 p["out_proj"]["b"].astype(x.dtype),
                 n_heads,
                 mask,
+                fast=fast_softmax_enabled(),
             )
 
     b, s, d = x.shape
@@ -168,10 +170,12 @@ def _block_fused_impl(p: dict, x: jax.Array, n_heads: int,
                       mask: Optional[jax.Array],
                       plane: Optional[jax.Array] = None,
                       pmask: Optional[jax.Array] = None) -> jax.Array:
+    from tpu_reid.ops.attention import fast_softmax_enabled
     from tpu_reid.ops.fused_attention import (
         block_block_b, fused_block, fused_mha, fused_mlp,
     )
 
+    fast = fast_softmax_enabled()
     a = p["attn"]
     m = p["mlp"]
     hid = m["c_fc"]["w"].shape[-1]
@@ -193,6 +197,7 @@ def _block_fused_impl(p: dict, x: jax.Array, n_heads: int,
                 mask,
                 prompt_plane=plane,
                 prompt_mask=pmask,
+                fast=fast,
             )
         # whole-block megakernel: one program, half the grid steps, and the
         # post-attention sequence never round-trips HBM (10.3 vs 12.3
@@ -210,6 +215,7 @@ def _block_fused_impl(p: dict, x: jax.Array, n_heads: int,
             m["c_proj"]["b"].astype(x.dtype),
             n_heads,
             mask,
+            fast=fast,
         )
     if plane is not None:
         x = _apply_splice_plane(x, plane, pmask)
@@ -223,6 +229,7 @@ def _block_fused_impl(p: dict, x: jax.Array, n_heads: int,
         mask,
         ln_scale=p["ln_1"]["scale"],
         ln_bias=p["ln_1"]["bias"],
+        fast=fast,
     )
     return fused_mlp(
         x, p["ln_2"]["scale"], p["ln_2"]["bias"],

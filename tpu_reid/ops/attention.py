@@ -133,6 +133,12 @@ def set_fast_softmax(enabled: bool) -> None:
     _FAST_SOFTMAX = enabled
 
 
+def fast_softmax_enabled() -> bool:
+    """Trace-time read of the fast-softmax profile flag (the fused Pallas
+    kernels switch to the exp2/saturating-clamp softmax when set)."""
+    return _FAST_SOFTMAX
+
+
 def xla_mha_core(q, k, v, mask=None):
     """XLA attention core (default; also the CPU path and parity oracle)."""
     scale = 1.0 / np.sqrt(q.shape[-1])

@@ -113,6 +113,16 @@ def block_block_b(s: int, d: int, hid: int, requested: int = 2) -> Optional[int]
     return None
 
 
+_LOG2E = 1.4426950408889634
+
+# Saturation bound for the fast-softmax exp2 clamp: unnormalized probs cap
+# at 2^120, so a full row of clamped scores sums to < 256 * 2^120 << fp32
+# max — overflow-free without the max-reduce. Scores only reach the clamp
+# when a logit exceeds 120/log2(e) ~ 83, where softmax is already a
+# one-hot to fp32 precision.
+_FAST_CLAMP = 120.0
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
     """fp32-statistics LayerNorm over the last axis (matches models.layers)."""
     x32 = x.astype(jnp.float32)
@@ -124,28 +134,34 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     )
 
 
-def _kernel(x_ref, ln_s_ref, ln_b_ref, win_ref, bin_ref, wout_ref, bout_ref,
-            mask_ref, o_ref, *, s_actual: int, n_heads: int, has_mask: bool,
-            pre_ln: bool, residual: bool):
-    x_in = x_ref[...]  # (NB, S_pad, D)
-    x = _layer_norm(x_in, ln_s_ref[...], ln_b_ref[...]) if pre_ln else x_in
-    nb, s_pad, d = x.shape
+def _attention_heads(qkv, mask_ref, *, s_actual: int, n_heads: int,
+                     has_mask: bool, fast: bool, dtype):
+    """Shared per-head attention core for both fused kernels.
+
+    One (M=S, K=dh, N=S) gemm pair per head. A pair-packed variant (two
+    dh=64 heads per K=128 contraction via lane-masked keys) was built and
+    measured on v5e at ViT-B geometry: 5.8-6.0 ms vs 5.8 ms for this loop
+    — no win; the kernel is bound by the chip's practical MXU rate, not
+    the K=64 contraction depth.
+
+    fast=False (parity path): padded-column masking via iota compare,
+    max-subtracted fp32 exp, deferred normalization.
+    fast=True (throughput profile, set_fast_softmax): the caller bakes the
+    column mask (and any additive mask) into mask_ref pre-scaled by
+    log2(e); the kernel computes exp2(min(s, 120)) — a saturating clamp
+    replaces the max-reduce+subtract (overflow-free by construction, see
+    _FAST_CLAMP) and the iota/compare/select disappears.
+    Both paths multiply by the row reciprocal instead of dividing the
+    (S, dh) output block — one divide per row instead of dh.
+    """
+    nb, s_pad, d3 = qkv.shape
+    d = d3 // 3
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
-    qkv = lax.dot_general(
-        x, win_ref[...],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    qkv = (qkv + bin_ref[...][None]).astype(x.dtype)  # (NB, S_pad, 3D)
-
-    # Per-head core: one (M=S, K=dh, N=S) gemm pair per head. A pair-packed
-    # variant (two dh=64 heads per K=128 contraction via lane-masked keys)
-    # was built and measured on v5e at ViT-B geometry: 5.8-6.0 ms vs 5.8 ms
-    # for this loop -- no win; the kernel is bound by the chip's practical
-    # MXU rate (~60-80% of nominal on every gemm microbenchmark), not by
-    # the K=64 contraction depth. Keeping the simpler core.
-    col = lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
+    if fast:
+        scale = scale * _LOG2E
+    else:
+        col = lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
     outs = []
     for h in range(n_heads):
         q = qkv[:, :, h * dh : (h + 1) * dh]
@@ -156,23 +172,43 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, win_ref, bin_ref, wout_ref, bout_ref,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # (NB, S_pad, S_pad)
-        s = jnp.where(col < s_actual, s, -1e30)
-        if has_mask:
-            s = s + mask_ref[...][None]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        # deferred normalization: divide the (S, dh) output by the row sum
-        # instead of the (S, S) probabilities — 3.4x fewer fp32 divisions,
-        # identical math (the per-row scalar commutes with the matmul).
-        # Measured 5.69 -> 5.53 ms/layer at B=512 ViT-B.
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if fast:
+            s = s + mask_ref[...][None]  # baked col+user mask, log2e units
+            p = jnp.exp2(jnp.minimum(s, _FAST_CLAMP))
+        else:
+            s = jnp.where(col < s_actual, s, -1e30)
+            if has_mask:
+                s = s + mask_ref[...][None]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+        # deferred normalization: scale the (S, dh) output by the row-sum
+        # reciprocal instead of dividing the (S, S) probabilities —
+        # measured 5.69 -> 5.53 ms/layer at B=512 ViT-B.
+        recip = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
         o = lax.dot_general(
-            p.astype(v.dtype), v,
+            p.astype(dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        outs.append((o / denom).astype(x.dtype))
-    attn = jnp.concatenate(outs, axis=-1)  # (NB, S_pad, D)
+        outs.append((o * recip).astype(dtype))
+    return jnp.concatenate(outs, axis=-1)  # (NB, S_pad, D)
+
+
+def _kernel(x_ref, ln_s_ref, ln_b_ref, win_ref, bin_ref, wout_ref, bout_ref,
+            mask_ref, o_ref, *, s_actual: int, n_heads: int, has_mask: bool,
+            pre_ln: bool, residual: bool, fast: bool):
+    x_in = x_ref[...]  # (NB, S_pad, D)
+    x = _layer_norm(x_in, ln_s_ref[...], ln_b_ref[...]) if pre_ln else x_in
+    qkv = lax.dot_general(
+        x, win_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bin_ref[...][None]).astype(x.dtype)  # (NB, S_pad, 3D)
+    attn = _attention_heads(
+        qkv, mask_ref, s_actual=s_actual, n_heads=n_heads,
+        has_mask=has_mask, fast=fast, dtype=x.dtype,
+    )
     proj = lax.dot_general(
         attn, wout_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -184,9 +220,23 @@ def _kernel(x_ref, ln_s_ref, ln_b_ref, win_ref, bin_ref, wout_ref, bout_ref,
     o_ref[...] = proj.astype(o_ref.dtype)
 
 
+def _bake_fast_mask(mask: Optional[jax.Array], s: int,
+                    s_pad: int) -> jax.Array:
+    """Fast-softmax mask: padded-column -1e30 plus any additive mask, all
+    pre-scaled by log2(e) so the kernel's exp2 consumes it directly."""
+    base = jnp.where(jnp.arange(s_pad) < s, 0.0, -1e30)
+    m = jnp.broadcast_to(base[None, :], (s_pad, s_pad))
+    if mask is not None:
+        m = m + jnp.pad(
+            jnp.maximum(mask.astype(jnp.float32), -1e30),
+            [(0, s_pad - s), (0, s_pad - s)],
+        )
+    return (m * _LOG2E).astype(jnp.float32)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_heads", "block_b", "interpret"),
+    static_argnames=("n_heads", "block_b", "interpret", "fast"),
 )
 def fused_mha(
     x: jax.Array,  # (B, S, D)
@@ -200,6 +250,7 @@ def fused_mha(
     ln_bias: Optional[jax.Array] = None,
     block_b: Optional[int] = None,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """Fused attention. With ln_scale/ln_bias the kernel computes the whole
     pre-norm half-block x + attn(ln(x)); without them, just attn(x).
@@ -217,11 +268,14 @@ def fused_mha(
     xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
     has_mask = mask is not None
     pre_ln = ln_scale is not None
-    maskp = (
-        jnp.pad(jnp.maximum(mask.astype(jnp.float32), -1e30),
-                [(0, s_pad - s), (0, s_pad - s)])
-        if has_mask else jnp.zeros((s_pad, s_pad), jnp.float32)
-    )
+    if fast:
+        maskp = _bake_fast_mask(mask, s, s_pad)
+    else:
+        maskp = (
+            jnp.pad(jnp.maximum(mask.astype(jnp.float32), -1e30),
+                    [(0, s_pad - s), (0, s_pad - s)])
+            if has_mask else jnp.zeros((s_pad, s_pad), jnp.float32)
+        )
     mask_shape = (s_pad, s_pad)
     if not pre_ln:
         ln_scale = jnp.ones((d,), x.dtype)
@@ -232,7 +286,7 @@ def fused_mha(
     out = pl.pallas_call(
         functools.partial(
             _kernel, s_actual=s, n_heads=n_heads, has_mask=has_mask,
-            pre_ln=pre_ln, residual=pre_ln,
+            pre_ln=pre_ln, residual=pre_ln, fast=fast,
         ),
         grid=grid,
         in_specs=[
@@ -360,6 +414,7 @@ def _whole_block_kernel(
     l2s_ref, l2b_ref, wfc_ref, bfc_ref, wpj_ref, bpj_ref, mask_ref,
     plane_ref, pmask_ref, o_ref,
     *, s_actual: int, n_heads: int, has_mask: bool, has_prompt: bool,
+    fast: bool,
 ):
     x_in = x_ref[...]  # (NB, S_pad, D)
     if has_prompt:
@@ -370,39 +425,16 @@ def _whole_block_kernel(
         x_in = jnp.where(pmask_ref[...][None] > 0, plane_ref[...][None],
                          x_in)
     x = _layer_norm(x_in, l1s_ref[...], l1b_ref[...])
-    nb, s_pad, d = x.shape
-    dh = d // n_heads
-    scale = 1.0 / np.sqrt(dh)
     qkv = lax.dot_general(
         x, win_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     qkv = (qkv + bin_ref[...][None]).astype(x.dtype)
-    col = lax.broadcasted_iota(jnp.int32, (nb, s_pad, s_pad), 2)
-    outs = []
-    for h in range(n_heads):
-        q = qkv[:, :, h * dh : (h + 1) * dh]
-        k = qkv[:, :, d + h * dh : d + (h + 1) * dh]
-        v = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
-        s = lax.dot_general(
-            q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(col < s_actual, s, -1e30)
-        if has_mask:
-            s = s + mask_ref[...][None]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append((o / denom).astype(x.dtype))
-    attn = jnp.concatenate(outs, axis=-1)
+    attn = _attention_heads(
+        qkv, mask_ref, s_actual=s_actual, n_heads=n_heads,
+        has_mask=has_mask, fast=fast, dtype=x.dtype,
+    )
     proj = lax.dot_general(
         attn, wout_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -418,7 +450,8 @@ def _whole_block_kernel(
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bfc_ref[...][None]
-    hid = hid * jax.nn.sigmoid(1.702 * hid)  # QuickGELU in fp32
+    # QuickGELU in fp32 (bf16 variant measured slower on v5e)
+    hid = hid * jax.nn.sigmoid(1.702 * hid)
     y = lax.dot_general(
         hid.astype(x.dtype), wpj_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -430,7 +463,7 @@ def _whole_block_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "block_b", "interpret")
+    jax.jit, static_argnames=("n_heads", "block_b", "interpret", "fast")
 )
 def fused_block(
     x: jax.Array,  # (B, S, D)
@@ -452,6 +485,7 @@ def fused_block(
     interpret: bool = False,
     prompt_plane: Optional[jax.Array] = None,  # (S, D) rows to splice in
     prompt_mask: Optional[jax.Array] = None,   # (S, 1) >0 where to splice
+    fast: bool = False,
 ) -> jax.Array:
     """One pre-norm transformer block as a single Pallas program.
 
@@ -473,14 +507,17 @@ def fused_block(
     b_pad = _round_up(b, block_b)
     xp = jnp.pad(x, [(0, b_pad - b), (0, s_pad - s), (0, 0)])
     has_mask = mask is not None
-    maskp = (
-        jnp.maximum(
-            jnp.pad(mask.astype(jnp.float32),
-                    [(0, s_pad - s), (0, s_pad - s)]),
-            -1e30,
+    if fast:
+        maskp = _bake_fast_mask(mask, s, s_pad)
+    else:
+        maskp = (
+            jnp.maximum(
+                jnp.pad(mask.astype(jnp.float32),
+                        [(0, s_pad - s), (0, s_pad - s)]),
+                -1e30,
+            )
+            if has_mask else jnp.zeros((s_pad, s_pad), jnp.float32)
         )
-        if has_mask else jnp.zeros((s_pad, s_pad), jnp.float32)
-    )
     has_prompt = prompt_plane is not None
     if has_prompt:
         planep = jnp.pad(
@@ -497,7 +534,7 @@ def fused_block(
     out = pl.pallas_call(
         functools.partial(
             _whole_block_kernel, s_actual=s, n_heads=n_heads,
-            has_mask=has_mask, has_prompt=has_prompt,
+            has_mask=has_mask, has_prompt=has_prompt, fast=fast,
         ),
         grid=(b_pad // block_b,),
         in_specs=[
