@@ -99,6 +99,32 @@ def test_zero_shot_cli(assets, monkeypatch):
     assert cmc.shape[0] == 9  # gallery has 9 images (< max_rank)
 
 
+def test_zero_shot_cli_fast_softmax(assets, monkeypatch):
+    """--fast_softmax (production surface for the throughput softmax
+    profile) runs end to end and lands within a bounded retrieval-quality
+    delta of the exact path on the same workload."""
+    from tpu_reid.cli import zero_shot as cli
+    from tpu_reid.ops import attention as A
+
+    argv = ["zero_shot",
+            "--root", assets["root"],
+            "--model_path", assets["ckpt"],
+            "--bpe_path", assets["merges"],
+            "--attributes", assets["attr"],
+            "--height", "32", "--stride", "8", "--bs", "4",
+            "--test_dataset", "market1501"]
+    monkeypatch.setattr(sys, "argv", argv)
+    _, mAP_exact = cli.main()
+    monkeypatch.setattr(sys, "argv", argv + ["--fast_softmax"])
+    try:
+        _, mAP_fast = cli.main()
+    finally:
+        A.set_fast_softmax(False)  # module-global: don't leak into others
+    # bf16-prob softmax on a random tiny tower: retrieval quality must not
+    # move materially (full-scale measured delta recorded in BASELINE.md)
+    assert abs(float(mAP_fast) - float(mAP_exact)) < 0.02
+
+
 def test_zero_shot_cli_mm_augmented(assets, monkeypatch):
     from tpu_reid.cli import zero_shot as cli
 

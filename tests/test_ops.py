@@ -282,3 +282,120 @@ def test_whole_block_budget():
     assert F.block_block_b(211, 768, 3072) == 2   # ViT-B: megakernel
     assert F.block_block_b(257, 1024, 4096) == 2  # ViT-L fits too
     assert F.block_block_b(211, 4096, 16384) is None  # monster: two-kernel/XLA
+
+
+# ---------------------------------------------------------------------------
+# fast=True (exp2/saturating-clamp softmax) parity — the throughput profile
+# bench.py / --fast_softmax runs with. In fp32 interpret mode the clamp never
+# engages and exp2(s*log2e) == exp(s), so the fast path must match the exact
+# XLA oracle to normal fp32 tolerance; the approximation only shows up in
+# bf16 on hardware (bounded end-to-end in test_models/BASELINE.md).
+# ---------------------------------------------------------------------------
+
+
+def test_fused_mha_fast_matches_oracle():
+    """fast=True == XLA oracle, odd b/s so batch+sequence padding engage."""
+    from tpu_reid.ops.fused_attention import fused_mha
+
+    rng = np.random.RandomState(21)
+    b, s, d, h = 3, 11, 32, 4
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    w_in = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.05)
+    b_in = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.01)
+    w_out = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.05)
+    b_out = jnp.asarray(rng.randn(d).astype(np.float32) * 0.01)
+
+    qkv = x @ w_in + b_in
+    q, k, v = jnp.split(qkv, 3, -1)
+    ref = xla_mha_core(
+        q.reshape(b, s, h, d // h), k.reshape(b, s, h, d // h),
+        v.reshape(b, s, h, d // h),
+    ).reshape(b, s, d) @ w_out + b_out
+
+    out = fused_mha(x, w_in, b_in, w_out, b_out, h, block_b=2,
+                    interpret=True, fast=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_fused_mha_fast_causal_mask():
+    """fast=True bakes the causal mask (pre-scaled by log2e) — must still
+    match the oracle, and position 0 must attend only to itself."""
+    from tpu_reid.ops.fused_attention import fused_mha
+
+    rng = np.random.RandomState(22)
+    b, s, d, h = 2, 9, 16, 2
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    w_in = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.05)
+    b_in = jnp.zeros((3 * d,))
+    w_out = jnp.eye(d, dtype=jnp.float32)
+    b_out = jnp.zeros((d,))
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+
+    out = fused_mha(x, w_in, b_in, w_out, b_out, h, mask, block_b=2,
+                    interpret=True, fast=True)
+    qkv = x @ w_in
+    q, k, v = jnp.split(qkv, 3, -1)
+    ref = xla_mha_core(
+        q.reshape(b, s, h, d // h), k.reshape(b, s, h, d // h),
+        v.reshape(b, s, h, d // h), mask,
+    ).reshape(b, s, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+    v0 = v.reshape(b, s, h, d // h)[:, 0].reshape(b, d)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(v0),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_block_fast_matches_xla_block():
+    """Whole-block megakernel fast=True == XLA block, with and without the
+    causal mask and with batch padding (b=3, block_b=2)."""
+    from tpu_reid.ops.fused_attention import fused_block
+
+    rng = np.random.RandomState(23)
+    b, s, d, h = 3, 9, 32, 4
+    p = L.init_block(jax.random.key(17), d, 2)
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    a, m = p["attn"], p["mlp"]
+
+    def run(mask):
+        return fused_block(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+            a["in_proj"]["w"], a["in_proj"]["b"],
+            a["out_proj"]["w"], a["out_proj"]["b"],
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            m["c_fc"]["w"], m["c_fc"]["b"],
+            m["c_proj"]["w"], m["c_proj"]["b"],
+            h, mask, block_b=2, interpret=True, fast=True,
+        )
+
+    L.set_attention_impl("xla")
+    np.testing.assert_allclose(
+        np.asarray(run(None)), np.asarray(L.residual_block(p, x, h)),
+        atol=5e-5, rtol=1e-4,
+    )
+    mask = L.causal_mask(s)
+    np.testing.assert_allclose(
+        np.asarray(run(mask)), np.asarray(L.residual_block(p, x, h, mask)),
+        atol=5e-5, rtol=1e-4,
+    )
+
+
+def test_fused_mha_fast_fully_masked_row_is_finite():
+    """Without the max-subtraction a fully-masked row sums to 0; the
+    denominator floor must yield 0 output, not inf/NaN."""
+    from tpu_reid.ops.fused_attention import fused_mha
+
+    rng = np.random.RandomState(24)
+    b, s, d, h = 1, 5, 16, 2
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32) * 0.1)
+    w_in = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.05)
+    b_in = jnp.zeros((3 * d,))
+    w_out = jnp.eye(d, dtype=jnp.float32)
+    b_out = jnp.zeros((d,))
+    # row 2 masks out every key
+    mask = jnp.zeros((s, s), jnp.float32).at[2, :].set(-jnp.inf)
+    out = fused_mha(x, w_in, b_in, w_out, b_out, h, mask, block_b=1,
+                    interpret=True, fast=True)
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(np.asarray(out[0, 2]), 0.0, atol=1e-20)

@@ -80,15 +80,22 @@ def main() -> None:
         return min(ts)
 
     # --- forward only -----------------------------------------------------
+    # the jitted fn is cached across calls (mirrors gradf below) so timed
+    # reps reuse one compiled executable instead of re-tracing every call
+    lossf = None
+
     def loss_only():
-        def f(tr, fr):
-            p = O.combine(tr, fr)
-            out = M.forward_train(p, mcfg, images, train=True)
-            l = jnp.float32(0.0)
-            for s in out["cls_scores"]:
-                l += s.astype(jnp.float32).mean()
-            return l + out["proj"].astype(jnp.float32).mean()
-        return jax.jit(f)(trainable, frozen)
+        nonlocal lossf
+        if lossf is None:
+            def f(tr, fr):
+                p = O.combine(tr, fr)
+                out = M.forward_train(p, mcfg, images, train=True)
+                l = jnp.float32(0.0)
+                for s in out["cls_scores"]:
+                    l += s.astype(jnp.float32).mean()
+                return l + out["proj"].astype(jnp.float32).mean()
+            lossf = jax.jit(f)
+        return lossf(trainable, frozen)
 
     t_fwd = timeit(loss_only)
     print(f"fwd-only        {t_fwd * 1e3:8.1f} ms")

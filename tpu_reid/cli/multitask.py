@@ -71,6 +71,10 @@ def params_parser():
                    help="with --multihost: this process's index")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
+    p.add_argument("--fast_softmax", action="store_true",
+                   help="throughput profile for the attention softmax "
+                        "(training + extraction; see "
+                        "ops.attention.set_fast_softmax / BASELINE.md)")
     p.add_argument("--log_dir", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
     return p.parse_args()
@@ -79,6 +83,10 @@ def params_parser():
 def main():
     args = params_parser()
     args.test_dataset = args.test_dataset or args.train_dataset
+    if args.fast_softmax:
+        from tpu_reid.ops.attention import set_fast_softmax
+
+        set_fast_softmax(True)
 
     host_id = 0
     if args.multihost:

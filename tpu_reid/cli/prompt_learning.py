@@ -119,6 +119,10 @@ def params_parser():
                         "(single-process runs only)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--rerank", action="store_true")
+    p.add_argument("--fast_softmax", action="store_true",
+                   help="throughput profile for the attention softmax "
+                        "(training + extraction; see "
+                        "ops.attention.set_fast_softmax / BASELINE.md)")
     p.add_argument("--log_dir", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
     return p.parse_args()
@@ -296,6 +300,10 @@ def build_model(args, n_cls: int, car_types=None, n_sie_ids: int = 0):
 def main():
     args = params_parser()
     args.test_dataset = args.test_dataset or args.train_dataset
+    if args.fast_softmax:
+        from tpu_reid.ops.attention import set_fast_softmax
+
+        set_fast_softmax(True)
 
     host_id = 0
     if args.multihost:

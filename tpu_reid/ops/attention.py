@@ -125,10 +125,27 @@ _FAST_SOFTMAX = False
 
 
 def set_fast_softmax(enabled: bool) -> None:
-    """Fast profile: softmax probabilities in bf16 (max-subtraction and the
-    normalizing sum stay fp32). ~10% end-to-end encoder speedup; embedding
-    deltas ~3e-2 absolute pre-normalization. Parity-sensitive evals should
-    leave this off (default)."""
+    """Throughput profile for the attention softmax. Per-path behavior:
+
+    * XLA core (`xla_mha_core`, bf16 inputs only): probabilities cast to
+      bf16 after a standard fp32 max-subtracted exp; the normalizing sum
+      stays fp32.
+    * Pallas fused kernels (`fused_attention.fused_mha/fused_block` with
+      fast=True): a DIFFERENT approximation — exp2 with a saturating
+      clamp replaces the max-reduce+subtract entirely (masks are baked
+      pre-scaled by log2(e)); probabilities are cast to the input dtype
+      for the p@v gemm, as in the parity path.
+    * The custom-VJP remat backward (`models.layers` _block_xla via
+      xla_mha_core) differentiates the XLA bf16-prob variant, so under
+      training the fused forward (exp2/clamp) and recompute backward
+      (bf16 probs) use different approximations of the same softmax —
+      both within ~3e-2 of exact pre-normalization, but not bit-equal
+      to each other.
+
+    ~10% end-to-end encoder speedup; embedding deltas ~3e-2 absolute
+    pre-normalization (measured mAP delta at Market-1501 scale is
+    recorded in BASELINE.md). Parity-sensitive evals should leave this
+    off (default). Production surface: `--fast_softmax` on the CLIs."""
     global _FAST_SOFTMAX
     _FAST_SOFTMAX = enabled
 

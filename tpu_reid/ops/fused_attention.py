@@ -116,10 +116,17 @@ def block_block_b(s: int, d: int, hid: int, requested: int = 2) -> Optional[int]
 _LOG2E = 1.4426950408889634
 
 # Saturation bound for the fast-softmax exp2 clamp: unnormalized probs cap
-# at 2^120, so a full row of clamped scores sums to < 256 * 2^120 << fp32
-# max — overflow-free without the max-reduce. Scores only reach the clamp
+# at 2^120, so a row of s_pad <= 216 clamped scores sums to at most
+# 216 * 2^120 < 2^128, i.e. within ~2^8 of fp32 max but below it — the
+# row-sum denominator is overflow-free without the max-reduce for the
+# short sequences these kernels serve (s_pad 128/216; a hypothetical
+# s_pad > 256 would overflow at the clamp). Scores only reach the clamp
 # when a logit exceeds 120/log2(e) ~ 83, where softmax is already a
-# one-hot to fp32 precision.
+# one-hot to fp32 precision. Note the guarantee covers the DENOMINATOR
+# only: the unnormalized p @ v fp32 accumulation can still overflow below
+# the clamp when logits approach ~83 and |v| is large across many
+# elements — accepted, as that logit regime never occurs post-LayerNorm
+# (observed |logits| < 30 across the CLIP towers).
 _FAST_CLAMP = 120.0
 
 
@@ -175,16 +182,24 @@ def _attention_heads(qkv, mask_ref, *, s_actual: int, n_heads: int,
         if fast:
             s = s + mask_ref[...][None]  # baked col+user mask, log2e units
             p = jnp.exp2(jnp.minimum(s, _FAST_CLAMP))
+            # without the max-subtraction a row whose unmasked logits all
+            # underflow exp2 (< ~-126) — or a fully user-masked row — sums
+            # to 0; floor the denominator so the output degrades to 0
+            # instead of inf/NaN (one extra VPU op per row)
+            denom = jnp.maximum(
+                jnp.sum(p, axis=-1, keepdims=True), 1e-30
+            )
         else:
             s = jnp.where(col < s_actual, s, -1e30)
             if has_mask:
                 s = s + mask_ref[...][None]
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
         # deferred normalization: scale the (S, dh) output by the row-sum
         # reciprocal instead of dividing the (S, S) probabilities —
         # measured 5.69 -> 5.53 ms/layer at B=512 ViT-B.
-        recip = 1.0 / jnp.sum(p, axis=-1, keepdims=True)
+        recip = 1.0 / denom
         o = lax.dot_general(
             p.astype(dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
