@@ -642,3 +642,26 @@ def test_prompt_learning_cli_cache_device(assets, monkeypatch, tmp_path):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_cli_cache_device_sharded(assets, monkeypatch,
+                                                  tmp_path):
+    """--cache_device + --devices 8: the train split is row-sharded over
+    the mesh's "data" axis and epochs serve batch-sharded on-device
+    gathers into the sharded train steps (VERDICT r4 #6)."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prompt_learning",
+         "--root", assets["root"],
+         "--model_path", assets["ckpt"],
+         "--bpe_path", assets["merges"],
+         "--height", "32", "--stride", "8", "--bs", "8",
+         "--devices", "8",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--training_mode", "coop", "--cache_device",
+         "--save_path", str(tmp_path / "ckpts")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0

@@ -476,3 +476,41 @@ def test_device_cache_matches_host_loader(market_root):
         np.testing.assert_array_equal(
             hb.images[valid], np.asarray(cache.gather(sel))[valid]
         )
+
+
+def test_device_cache_mesh_sharded(market_root):
+    """Mesh-sharded cache (8-device "data" axis): the resident split is
+    row-sharded across chips, gathers come back batch-sharded, and batches
+    stay bit-identical to the host BatchLoader path (VERDICT r4 #6)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_reid.data.device_cache import DeviceImageCache
+    from tpu_reid.data.loader import BatchLoader
+    from tpu_reid.data.sampler import PKSampler
+    from tpu_reid.parallel.mesh import make_mesh
+
+    ds = D.load_market1501(market_root)
+    hw = (32, 16)
+    mesh = make_mesh(n_data=8)
+    cache = DeviceImageCache(ds.train, hw, chunk=5, mesh=mesh)
+
+    # resident images are sharded over "data" (row-padded to divisibility)
+    assert cache.images.shape[0] % 8 == 0
+    spec = cache.images.sharding.spec
+    assert spec == P("data") or tuple(spec)[:1] == ("data",)
+
+    labels = [r[1] for r in ds.train]
+    order = list(PKSampler(labels, 8, 4, seed=3).epoch())
+    host = list(BatchLoader(ds.train, 8, hw, order=iter(order)))
+    dev = list(cache.epoch_index_batches(order, 8))
+    assert len(host) == len(dev)
+    for hb, (sel, pids, camids, valid) in zip(host, dev):
+        got = cache.gather(sel)
+        # gathered batch is batch-sharded over the same axis
+        gspec = got.sharding.spec
+        assert gspec == P("data") or tuple(gspec)[:1] == ("data",)
+        np.testing.assert_array_equal(hb.pids, pids)
+        np.testing.assert_array_equal(
+            hb.images[valid], np.asarray(got)[valid]
+        )

@@ -671,3 +671,64 @@ def test_multitask_cli_devices(tmp_path, monkeypatch):
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_multitask_cli_cache_device(tmp_path, monkeypatch):
+    """--cache_device on the hard multitask variant, sharded over a
+    --devices 8 mesh: BOTH train splits stay HBM-resident (row-sharded
+    over "data"), epochs serve batch-sharded gathers into the per-task
+    sharded steps, XBM intact (VERDICT r4 #6)."""
+    import json
+
+    import torch
+    from PIL import Image
+
+    from tpu_reid.cli import multitask as cli
+    from tpu_reid.models.tokenizer import write_test_merges
+
+    root = tmp_path
+    rng = np.random.RandomState(0)
+    for name in ("Market1501", "DukeMTMC-reID"):
+        base = root / name
+        for sub in ("bounding_box_train", "query", "bounding_box_test"):
+            (base / sub).mkdir(parents=True)
+        for pid, cam, n in [(1, 1, 4), (2, 2, 4)]:
+            for k in range(n):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_train" / f"{pid:04d}_c{cam}s1_{k:06d}_00.jpg")
+        for pid in (1, 2):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 32, 3), np.uint8)
+            ).save(base / "query" / f"{pid:04d}_c2s1_000000_00.jpg")
+            for k in range(2):
+                Image.fromarray(
+                    rng.randint(0, 255, (64, 32, 3), np.uint8)
+                ).save(base / "bounding_box_test" / f"{pid:04d}_c{1 + k}s1_{k:06d}_00.jpg")
+    sd = oracle.make_clip_state_dict(
+        np.random.RandomState(1), vision_width=64, vision_layers=2, patch=8,
+        grid=4, text_width=128, text_layers=2, vocab=520, context=77,
+        embed_dim=32,
+    )
+    ckpt = str(root / "tiny.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, ckpt)
+    merges = str(root / "m.gz")
+    write_test_merges(merges, [("p", "h")])
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["multitask", "--root", str(root),
+         "--model_path", ckpt, "--bpe_path", merges,
+         "--variant", "hard", "--height", "32", "--stride", "8",
+         "--bs", "8", "--devices", "8", "--cache_device",
+         "--epochs_stage1", "1", "--epochs_stage2", "1",
+         "--log_dir", str(root / "logs"),
+         "--save_path", str(root / "ck")],
+    )
+    cmc, mAP = cli.main()
+    assert 0.0 <= mAP <= 1.0
+    recs = [json.loads(ln) for ln in
+            (root / "logs" / "metrics.jsonl").read_text().splitlines()]
+    cevents = [r for r in recs if r["event"] == "cache_device"]
+    assert {c["dataset"] for c in cevents} == {"market1501", "dukemtmc"}
+    assert all(c["sharded"] for c in cevents)

@@ -127,3 +127,38 @@ def test_decode_pool_matches_batch(tmp_path):
             np.testing.assert_array_equal(got, want)
     finally:
         pool.close()
+
+
+@pytest.mark.slow
+def test_decode_pool_under_tsan(jpegs, tmp_path):
+    """Race-detection pass for the native thread pool (SURVEY §5): build
+    loader.cc + tsan_harness.cc with -fsanitize=thread and hammer the
+    transient pool, persistent-pool job handoff, concurrent pools on host
+    threads, and create/destroy churn. Any data race TSan finds fails the
+    run (halt_on_error)."""
+    import subprocess
+
+    src_dir = os.path.dirname(os.path.abspath(native.__file__))
+    exe = str(tmp_path / "tsan_harness")
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-fsanitize=thread", "-std=c++17",
+         os.path.join(src_dir, "loader.cc"),
+         os.path.join(src_dir, "tsan_harness.cc"),
+         "-o", exe, "-ljpeg", "-lpthread"],
+        capture_output=True, text=True,
+    )
+    if build.returncode != 0:
+        if "tsan" in build.stderr or "sanitize" in build.stderr:
+            pytest.skip(f"no TSan runtime in this toolchain: {build.stderr}")
+        raise AssertionError(f"harness build failed: {build.stderr}")
+
+    env = dict(os.environ, TSAN_OPTIONS="halt_on_error=1 exitcode=66")
+    run = subprocess.run(
+        [exe] + list(jpegs), capture_output=True, text=True, env=env,
+        timeout=300,
+    )
+    assert "WARNING: ThreadSanitizer" not in run.stderr, run.stderr
+    assert run.returncode == 0, (
+        f"rc={run.returncode}\nstdout={run.stdout}\nstderr={run.stderr}"
+    )
+    assert "all phases OK" in run.stdout

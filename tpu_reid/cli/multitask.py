@@ -75,6 +75,12 @@ def params_parser():
                    help="throughput profile for the attention softmax "
                         "(training + extraction; see "
                         "ops.attention.set_fast_softmax / BASELINE.md)")
+    p.add_argument("--cache_device", action="store_true",
+                   help="stage BOTH train splits in device HBM once and "
+                        "serve every epoch's batches as on-device gathers "
+                        "(sharded over the mesh under --devices N); kills "
+                        "the per-epoch host decode + H2D transfer "
+                        "(data/device_cache.py)")
     p.add_argument("--log_dir", default=None, type=str)
     p.add_argument("--seed", default=0, type=int)
     return p.parse_args()
@@ -176,7 +182,52 @@ def main():
             f"--bs {args.bs} must divide by --devices {args.devices}"
         mesh = make_mesh(n_data=args.devices)
 
+    caches = {}
+    if args.cache_device:
+        # stage both train splits in HBM once (sharded over the mesh's
+        # "data" axis under --devices N); every epoch's batches become an
+        # on-device gather + jitted transform — no host decode or H2D
+        # transfer in the epoch loops (data/device_cache.py). XBM and the
+        # alternation/zip schedules are untouched: the trainers see the
+        # same (imgs, pids, valid) stream.
+        assert not args.multihost, \
+            "--cache_device is a single-process feature (no --multihost)"
+        import time as _t
+
+        from tpu_reid.data.device_cache import DeviceImageCache
+
+        for ds_, pp_ in ((ds1, pp1), (ds2, pp2)):
+            t0 = _t.time()
+            c = DeviceImageCache(ds_.train, pp_.size_hw, mesh=mesh)
+            caches[(ds_.name, pp_.size_hw)] = c
+            log.log("cache_device", dataset=ds_.name, n=c.n,
+                    mb=round(c.nbytes() / 2**20, 1),
+                    upload_s=round(_t.time() - t0, 1),
+                    sharded=mesh is not None)
+
     def train_batches(dataset, pp, bs, epoch, pk=False, pad_hw=(10, 10)):
+        # stable per-(dataset, epoch) augmentation stream
+        tag = sum(map(ord, dataset.name)) & 0xFFFF
+        k = jax.random.fold_in(key, (tag << 14) | (epoch & 0x3FFF))
+        cache = caches.get((dataset.name, pp.size_hw))
+        if cache is not None:
+            if pk:
+                labels = [r[1] for r in dataset.train]
+                order = PKSampler(
+                    labels, bs, 4, seed=args.seed + epoch
+                ).epoch()
+            else:
+                rng = np.random.default_rng(args.seed + epoch)
+                order = rng.permutation(cache.n)
+            for i, (sel, pids, _camids, valid) in enumerate(
+                cache.epoch_index_batches(order, bs, drop_tail=not pk)
+            ):
+                imgs = pp.train_batch(
+                    cache.gather(sel), jax.random.fold_in(k, i),
+                    pad_hw=pad_hw,
+                )
+                yield imgs, jnp.asarray(pids), valid
+            return
         if pk:
             labels = [r[1] for r in dataset.train]
             order = PKSampler(labels, bs, 4, seed=args.seed + epoch).epoch()
@@ -186,9 +237,6 @@ def main():
             dataset.train, bs, pp.size_hw, order=order,
             seed=args.seed + epoch, drop_tail=not pk,
         )
-        # stable per-(dataset, epoch) augmentation stream
-        tag = sum(map(ord, dataset.name)) & 0xFFFF
-        k = jax.random.fold_in(key, (tag << 14) | (epoch & 0x3FFF))
         for i, b in enumerate(loader):
             imgs = pp.train_batch(
                 jnp.asarray(b.images), jax.random.fold_in(k, i), pad_hw=pad_hw

@@ -386,20 +386,23 @@ def main():
     if getattr(args, "cache_device", False):
         # stage the whole train split in HBM once; every epoch's batches
         # become an on-device gather + jitted transform — no host decode
-        # or H2D transfer in the epoch loop (data/device_cache.py)
-        assert mesh is None and not n_sie, (
-            "--cache_device is a single-process feature (no --devices/"
-            "--multihost) and does not carry SIE side-info ids"
+        # or H2D transfer in the epoch loop (data/device_cache.py). With
+        # --devices N the split is row-sharded over the mesh's "data" axis
+        # and gathers come back batch-sharded (ICI row exchange).
+        assert not args.multihost and not n_sie, (
+            "--cache_device is a single-process feature (no --multihost) "
+            "and does not carry SIE side-info ids"
         )
         from tpu_reid.data.device_cache import DeviceImageCache
 
         import time as _t
 
         t0 = _t.time()
-        cache = DeviceImageCache(dataset.train, (h, w))
+        cache = DeviceImageCache(dataset.train, (h, w), mesh=mesh)
         log.log("cache_device", n=cache.n,
                 mb=round(cache.nbytes() / 2**20, 1),
-                upload_s=round(_t.time() - t0, 1))
+                upload_s=round(_t.time() - t0, 1),
+                sharded=mesh is not None)
 
     def stage1_batches(epoch):
         # stage 1 always consumes the VAL-transform loader — deterministic

@@ -18,6 +18,14 @@ no decode, no transfer, no host in the loop.
 Chunked upload: single large device_puts have been observed to wedge the
 remote tunnel (~100 MB); chunks default to 256 images (~25 MB at
 256x128) and each is fenced with a scalar fetch before the next starts.
+
+Multi-chip (`mesh=`): the split is sharded over the mesh's "data" axis —
+each chip holds N/D contiguous rows (zero-padded to divisibility) and a
+batch gather runs as one jitted program whose output is batch-sharded
+over the same axis, XLA inserting the cross-chip row exchange over ICI
+(a PK-sampled batch touches ~bs rows, a few MB — negligible against
+re-shipping images from the host every epoch). Batches are bit-identical
+to the single-device cache and to the host BatchLoader path.
 """
 
 from __future__ import annotations
@@ -33,6 +41,9 @@ class DeviceImageCache:
     Produces batches bit-identical to the host BatchLoader path: the same
     decode+resize runs on the host at build time, so `gather(idx)` equals
     stacking those images host-side and device_put-ing them.
+
+    mesh: optional jax.sharding.Mesh — shard the resident images over the
+    "data" axis and emit batch-sharded gathers (see module docstring).
     """
 
     def __init__(
@@ -41,6 +52,7 @@ class DeviceImageCache:
         size_hw,
         chunk: int = 256,
         log: Optional[Callable[[str], None]] = None,
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -49,6 +61,7 @@ class DeviceImageCache:
 
         self.n = len(records)
         self.size_hw = tuple(size_hw)
+        self.mesh = mesh
         self.pids = np.asarray([r[1] for r in records], np.int32)
         self.camids = np.asarray([r[2] for r in records], np.int32)
 
@@ -66,16 +79,43 @@ class DeviceImageCache:
             if log is not None:
                 log(f"device cache: {done}/{self.n} images staged")
         assert done == self.n, (done, self.n)
-        self.images = jax.jit(lambda ps: jnp.concatenate(ps, axis=0))(parts)
-        float(self.images[0, 0, 0, 0])
-        self._gather = jax.jit(lambda imgs, idx: jnp.take(imgs, idx, axis=0))
+        if mesh is None:
+            self.images = jax.jit(
+                lambda ps: jnp.concatenate(ps, axis=0)
+            )(parts)
+            float(self.images[0, 0, 0, 0])
+            self._gather = jax.jit(
+                lambda imgs, idx: jnp.take(imgs, idx, axis=0)
+            )
+        else:
+            from tpu_reid.parallel.mesh import data_sharding
+
+            dat = data_sharding(mesh)
+            n_shards = mesh.shape["data"]
+            pad = (-self.n) % n_shards  # P("data") needs divisibility
+
+            def assemble(ps):
+                x = jnp.concatenate(ps, axis=0)
+                return jnp.pad(x, [(0, pad), (0, 0), (0, 0), (0, 0)])
+
+            # one program: concat + pad on the staging device, output
+            # scattered into per-chip contiguous row shards
+            self.images = jax.jit(assemble, out_shardings=dat)(parts)
+            float(jnp.asarray(self.images[0, 0, 0, 0]))
+            # gather: replicated indices, batch-sharded output; XLA turns
+            # the cross-shard row fetch into ICI collectives
+            self._gather = jax.jit(
+                lambda imgs, idx: jnp.take(imgs, idx, axis=0),
+                out_shardings=dat,
+            )
 
     def nbytes(self) -> int:
         h, w = self.size_hw
         return self.n * h * w * 3
 
     def gather(self, idx: np.ndarray):
-        """(B,) int32 indices -> (B, H, W, 3) uint8 on device."""
+        """(B,) int32 indices -> (B, H, W, 3) uint8 on device (batch-sharded
+        over the "data" axis when the cache was built with a mesh)."""
         import jax.numpy as jnp
 
         return self._gather(self.images, jnp.asarray(idx, jnp.int32))

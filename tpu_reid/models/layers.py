@@ -136,15 +136,9 @@ def multi_head_attention(
     return linear(p["out_proj"], out.reshape(b, s, d))
 
 
-@functools.partial(jax.checkpoint, static_argnums=(2,))
-def _block_xla(p: dict, x: jax.Array, n_heads: int,
-               mask: Optional[jax.Array]) -> jax.Array:
-    """Pure-XLA pre-norm block (also the backward-pass implementation).
-
-    Rematerialized (jax.checkpoint): full-size training would otherwise
-    hold every block's attention/MLP intermediates for the backward pass —
-    ViT-B/16 at bs=64 fp32 exceeds a v5e's HBM. Matches the fused path's
-    recompute-in-backward behavior; forward-only callers pay nothing."""
+def _block_xla_impl(p: dict, x: jax.Array, n_heads: int,
+                    mask: Optional[jax.Array]) -> jax.Array:
+    """Pure-XLA pre-norm block body (no remat wrapper — see _block_xla)."""
     b, s, d = x.shape
     dh = d // n_heads
     h = layer_norm(p["ln_1"], x)
@@ -159,6 +153,20 @@ def _block_xla(p: dict, x: jax.Array, n_heads: int,
     )
     x = x + linear(p["attn"]["out_proj"], attn.reshape(b, s, d))
     return x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+
+
+# Rematerialized variant for DIRECT (non-fused-path) training use:
+# full-size training would otherwise hold every block's attention/MLP
+# intermediates for the backward pass — ViT-B/16 at bs=64 fp32 exceeds a
+# v5e's HBM. The custom-VJP backward of the fused path deliberately uses
+# the UN-checkpointed _block_xla_impl instead: the custom VJP already
+# saved only (p, x, mask), so under the scan backward just one block's
+# intermediates are live at a time — an inner checkpoint there bought no
+# memory and cost a second full forward recompute per block per step
+# (measured: chained stage-2 step 89.9 -> 77.9 ms at bs=64 bf16 on v5e).
+_block_xla = functools.partial(jax.checkpoint, static_argnums=(2,))(
+    _block_xla_impl
+)
 
 
 def _apply_splice_plane(x, plane, pmask):
@@ -252,7 +260,10 @@ def _block_fused_fwd(p, x, n_heads, mask):
 
 def _block_fused_bwd(n_heads, res, g):
     p, x, mask = res
-    _, vjp = jax.vjp(lambda p_, x_: _block_xla(p_, x_, n_heads, mask), p, x)
+    # un-checkpointed body: one forward + one backward (see _block_xla note)
+    _, vjp = jax.vjp(
+        lambda p_, x_: _block_xla_impl(p_, x_, n_heads, mask), p, x
+    )
     dp, dx = vjp(g)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return dp, dx, dmask
@@ -279,7 +290,7 @@ def _block_fused_spliced_bwd(n_heads, res, g):
 
     def ref(p_, x_, plane_):
         xs = _apply_splice_plane(x_, plane_, pmask)
-        return _block_xla(p_, xs, n_heads, mask)
+        return _block_xla_impl(p_, xs, n_heads, mask)
 
     _, vjp = jax.vjp(ref, p, x, plane)
     dp, dx, dplane = vjp(g)
