@@ -74,3 +74,18 @@ def test_parity_run_synthetic_mm(tmp_path):
     ])
     assert result["max_abs_diff"] <= 2e-3
     assert ", mm" in result["protocol"]
+
+
+@pytest.mark.slow
+def test_runbook_synthetic_dry_run(tmp_path, monkeypatch):
+    """The real-assets runbook (VERDICT r4 #9) dry-runs locally: --synthetic
+    delegates to the identical parity harness and writes the published
+    record, proving the one-command path a connected machine would run."""
+    from tpu_reid.tools import runbook_market_parity as rb
+
+    baseline = tmp_path / "BASELINE.json"
+    monkeypatch.chdir(tmp_path)
+    result = rb.main(["--synthetic", "--baseline", str(baseline)])
+    assert result["max_abs_diff"] <= 2e-3
+    rec = json.loads(baseline.read_text())["published"]["market1501_synthetic"]
+    assert rec["synthetic"] is True

@@ -158,12 +158,15 @@ def _block_xla_impl(p: dict, x: jax.Array, n_heads: int,
 # Rematerialized variant for DIRECT (non-fused-path) training use:
 # full-size training would otherwise hold every block's attention/MLP
 # intermediates for the backward pass — ViT-B/16 at bs=64 fp32 exceeds a
-# v5e's HBM. The custom-VJP backward of the fused path deliberately uses
-# the UN-checkpointed _block_xla_impl instead: the custom VJP already
-# saved only (p, x, mask), so under the scan backward just one block's
-# intermediates are live at a time — an inner checkpoint there bought no
-# memory and cost a second full forward recompute per block per step
-# (measured: chained stage-2 step 89.9 -> 77.9 ms at bs=64 bf16 on v5e).
+# v5e's HBM. The custom-VJP backward of the fused path uses the
+# UN-checkpointed _block_xla_impl instead: the custom VJP already saved
+# only (p, x, mask), so under the scan backward just one block's
+# intermediates are live at a time and an inner checkpoint buys no
+# memory while nominally forcing a second forward recompute per block.
+# Measured (v5e, chained stage-2 step, bs=64 bf16): 89.9 -> 89.7 ms — no
+# wall-clock change, i.e. XLA was already CSE-ing the duplicate
+# recompute subgraph; kept because it states the intended semantics
+# rather than relying on CSE.
 _block_xla = functools.partial(jax.checkpoint, static_argnums=(2,))(
     _block_xla_impl
 )
