@@ -399,3 +399,44 @@ def test_fused_mha_fast_fully_masked_row_is_finite():
                     interpret=True, fast=True)
     assert bool(jnp.isfinite(out).all())
     np.testing.assert_allclose(np.asarray(out[0, 2]), 0.0, atol=1e-20)
+
+
+def test_fused_ln_proj_tail_matches_xla():
+    """ops.fused_tail: the Pallas ln_post+proj CLS tail == the layer_norm +
+    dot composition (interpret mode; batch padding engages at b=5)."""
+    from tpu_reid.ops import fused_tail as FT
+
+    rng = np.random.RandomState(31)
+    b, d, e = 5, 32, 16
+    x = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    ln = {"scale": jnp.asarray(1 + 0.1 * rng.randn(d).astype(np.float32)),
+          "bias": jnp.asarray(0.1 * rng.randn(d).astype(np.float32))}
+    proj = jnp.asarray(rng.randn(d, e).astype(np.float32) * 0.1)
+
+    want_y, want_p = FT._tail_xla(x, ln["scale"], ln["bias"], proj)
+    got_y, got_p = FT._tail_pallas(x, ln["scale"], ln["bias"], proj,
+                                   block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=2e-5, rtol=1e-4)
+
+    # gradient flows through the custom VJP (XLA recompute) and matches
+    # differentiating the XLA composition directly
+    def loss_fused(x_, s_, b_, p_):
+        y, pr = FT._tail_fused(x_, s_, b_, p_)
+        return (y.astype(jnp.float32).sum() + pr.astype(jnp.float32).sum())
+
+    def loss_xla(x_, s_, b_, p_):
+        y, pr = FT._tail_xla(x_, s_, b_, p_)
+        return (y.astype(jnp.float32).sum() + pr.astype(jnp.float32).sum())
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+        x, ln["scale"], ln["bias"], proj
+    )
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(
+        x, ln["scale"], ln["bias"], proj
+    )
+    for a, bb in zip(g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=2e-5, rtol=1e-4)

@@ -248,9 +248,14 @@ def apply_vit(
         return x11, x12, xproj, jpm_seq
     if cls_only:
         x12 = L.residual_block_cls(tail, x_last, cfg.heads)
-    else:
-        x12 = L.residual_block(tail, x_last, cfg.heads)
+        # fused ln_post + proj on the CLS row: both consumers of the final
+        # CLS (x12 LayerNormed, x12 @ proj — reference maple.py:780-783)
+        # from one VMEM-resident load (Pallas on TPU bf16, XLA elsewhere)
+        from tpu_reid.ops.fused_tail import ln_proj_tail
 
+        y, pr = ln_proj_tail(x12[:, 0], params["ln_post"], params["proj"])
+        return x11, y[:, None], pr[:, None]
+    x12 = L.residual_block(tail, x_last, cfg.heads)
     x12 = L.layer_norm(params["ln_post"], x12)
     xproj = jnp.dot(x12, params["proj"].astype(x12.dtype))
     return x11, x12, xproj
