@@ -143,6 +143,39 @@ def main() -> None:
         f"# per-batch latency {latency * 1e3:.1f} ms "
         f"({batch / latency:.0f} emb/s unpipelined)"
     )
+
+    # production host-fed sweep: host-resident uint8 batches (what a
+    # multi-core host's decode pool hands over), device_prefetch
+    # overlapping H2D with compute, fenced once at the end. Through the
+    # axon tunnel this measures the LINK (~20-50 MB/s observed), not the
+    # chip — the chip needs ~270 MB/s to stay fed, which any real TPU
+    # host's PCIe H2D exceeds by an order of magnitude. Recorded so the
+    # bench states the production pipeline's behavior honestly
+    # (BASELINE.md "host-fed extraction" has the full decomposition).
+    import numpy as _np
+
+    from tpu_reid.parallel.prefetch import device_prefetch
+
+    k_host = 6
+    host_rng = _np.random.RandomState(2)
+    host_batches = [
+        host_rng.randint(0, 255, (batch, h, w, 3), _np.uint8)
+        for _ in range(k_host)
+    ]
+    feats = []
+    t0 = time.perf_counter()
+    for d in device_prefetch(iter(host_batches), place=jax.device_put,
+                             depth=2):
+        feats.append(extractor(params, d))
+    float(feats[-1][0, 0])
+    for f in feats:
+        f.block_until_ready()
+    dt_host = (time.perf_counter() - t0) / k_host
+    print(
+        f"# host-fed pipelined {dt_host * 1e3:.1f} ms/batch "
+        f"({batch / dt_host:.0f} emb/s; H2D-link-bound through the "
+        "axon tunnel)"
+    )
     print(
         json.dumps(
             {
