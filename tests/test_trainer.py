@@ -678,3 +678,60 @@ def test_stage1_mid_resume_equals_straight_run():
                         init_opt_state=saved["opt"])
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_stage2_cached_chunked_equals_host_loop():
+    """run_stage2_cached (chunk-of-steps lax.scan serving from the
+    HBM-resident cache) must reproduce the host-driven run_stage2 loop
+    fed the same gathers/RNG stream — same losses, same final params
+    (r5; the chunked path exists because per-step dispatch overhead
+    through a remote link dwarfs step compute)."""
+    from tpu_reid.data.device_cache import DeviceImageCache
+    from tpu_reid.data.sampler import PKSampler
+    from tpu_reid.data.transforms import DevicePreprocess
+
+    mcfg, params = tiny_model("coop", n_cls=6)
+    N, B = 40, 8
+    imgs = RNG.randint(0, 255, (N, 32, 16, 3), np.uint8)
+    pids = np.asarray([i % 6 for i in range(N)], np.int32)
+    camids = np.zeros((N,), np.int32)
+
+    class FakeCache:
+        images = jnp.asarray(imgs)
+        n = N
+        epoch_index_batches = DeviceImageCache.epoch_index_batches
+
+    cache = FakeCache()
+    cache.pids, cache.camids = pids, camids
+    pp = DevicePreprocess((32, 16), "vit", dtype=jnp.float32)
+    key = jax.random.key(0)
+    tcfg = TR.TrainConfig(epochs_stage2=2)
+
+    def order(epoch):
+        sampler = PKSampler(list(pids), B, 4, seed=epoch)
+        return cache.epoch_index_batches(sampler.epoch(), B)
+
+    def host_batches(epoch):
+        k = jax.random.fold_in(key, 10_000 + epoch)
+        for i, (sel, p_, _c, v) in enumerate(order(epoch)):
+            im = pp.train_batch(
+                jnp.take(cache.images, jnp.asarray(sel), axis=0),
+                jax.random.fold_in(k, i), pad_hw=(10, 10),
+            )
+            yield im, jnp.asarray(p_), v
+
+    logs_a, logs_b = [], []
+    out_a = TR.run_stage2(params, mcfg, tcfg, host_batches, epochs=2,
+                          log=logs_a.append)
+    out_b = TR.run_stage2_cached(params, mcfg, tcfg, cache, order, pp, key,
+                                 epochs=2, chunk=3, log=logs_b.append)
+    # same per-epoch mean losses (chunk=3 pads the 5-step epochs -> the
+    # padded step must be skipped, not averaged in)
+    assert logs_a == logs_b
+    la = jax.tree.leaves(out_a)
+    lb = jax.tree.leaves(out_b)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4)

@@ -608,12 +608,35 @@ def main():
 
     if done_stage < 2:
         with log.phase("stage2"):
-            params = TR.run_stage2(
-                params, mcfg, tcfg, stage2_batches, epochs=args.epochs_stage2,
-                mesh=mesh, guard=make_guard(),
-                log=lambda s: log.log("train", msg=s),
-                checkpoint_cb=stage2_cb(), **kw2,
-            )
+            if cache is not None and mesh is None:
+                # HBM-resident split + single device: run `chunk` steps
+                # per dispatch (gather + fused transform + step in ONE
+                # lax.scan program) — the per-step host dispatch overhead
+                # (~5 x ~30 ms through a remote link) otherwise dwarfs
+                # the ~90 ms step compute. Same RNG stream/batches as the
+                # host-driven path (train/trainer.py::run_stage2_cached).
+                def stage2_order(epoch):
+                    labels = [r[1] for r in dataset.train]
+                    sampler = PKSampler(labels, args.bs, 4,
+                                        seed=args.seed + epoch)
+                    return cache.epoch_index_batches(
+                        sampler.epoch(), args.bs
+                    )
+
+                params = TR.run_stage2_cached(
+                    params, mcfg, tcfg, cache, stage2_order, pp, key,
+                    epochs=args.epochs_stage2, guard=make_guard(),
+                    log=lambda s: log.log("train", msg=s),
+                    checkpoint_cb=stage2_cb(), **kw2,
+                )
+            else:
+                params = TR.run_stage2(
+                    params, mcfg, tcfg, stage2_batches,
+                    epochs=args.epochs_stage2,
+                    mesh=mesh, guard=make_guard(),
+                    log=lambda s: log.log("train", msg=s),
+                    checkpoint_cb=stage2_cb(), **kw2,
+                )
             mgr.save(
                 args.epochs_stage1 + args.epochs_stage2,
                 {"params": params, "stage": 2, "epoch_in_stage": -1},

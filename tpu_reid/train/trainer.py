@@ -683,3 +683,159 @@ def run_stage2(
     if cfg.mode == "promptsrc" and gpa is not None:
         out = gpa
     return out
+
+
+def run_stage2_cached(
+    params: dict,
+    cfg: M.ReidModelConfig,
+    tcfg: TrainConfig,
+    cache,
+    order_of_epoch: Callable[[int], Iterable],
+    pp,
+    epoch_key,
+    epochs: Optional[int] = None,
+    pad_hw: Tuple[int, int] = (10, 10),
+    log: Callable[[str], None] = print,
+    checkpoint_cb: Optional[Callable[[int, dict, dict], None]] = None,
+    guard=None,
+    start_epoch: int = 0,
+    init_opt_state=None,
+    init_gpa=None,
+    chunk: int = 32,
+) -> dict:
+    """Stage 2 served entirely from a DeviceImageCache, `chunk` steps per
+    dispatch.
+
+    With the train split HBM-resident, a step's only host inputs are a
+    (B,) index row and metadata — so the gather, the fused train
+    transform AND the train step run inside ONE jitted lax.scan over
+    `chunk` steps. Through a remote device link the per-step host cost
+    (~5 dispatches x ~30 ms: gather, transform, fold_in, step, loss
+    fetch) dominated the 90 ms step compute (measured ~200 s/epoch vs
+    ~18 s compute at Market scale, r5); chunking pays one dispatch + one
+    (chunk,) loss fetch per `chunk` steps instead.
+
+    Bit-identical math to the per-step cached path: same jnp.take
+    gather, same fold_in(epoch_key, global_step) RNG stream, same
+    make_stage2_step body, same BNNeck-stats threading. Tail steps
+    beyond the epoch's batch count are padded with valid=False rows and
+    skipped via lax.cond (no state update, loss masked out host-side).
+
+    order_of_epoch(epoch) -> iterator of (sel, pids, camids, valid)
+    (DeviceImageCache.epoch_index_batches). Single-device path: callers
+    with a mesh or SIE ids use run_stage2 (the host loop).
+
+    Guard semantics: snapshot before each chunk, losses checked after
+    each chunk's single fetch; a non-finite loss inside a chunk rolls
+    back to the pre-chunk snapshot and re-runs that chunk once (the
+    diverged batch is then skipped by the finite-loss mask, matching the
+    synchronous loop's skip-this-batch behavior at chunk granularity).
+    """
+    epochs = epochs or tcfg.epochs_stage2
+    params = jax.tree.map(jnp.asarray, params)
+    text_features = jax.lax.stop_gradient(
+        M.all_class_text_features(params, cfg)
+    )
+    trainable, frozen = O.partition(
+        params, lambda path: M.stage2_trainable(path, cfg)
+    )
+    optimizer = O.make_stage_optimizer(
+        tcfg.lr_stage2, tcfg.weight_decay, bias_lr_mult=2.0
+    )
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(trainable))
+    step = make_stage2_step(cfg, tcfg, optimizer)
+
+    @jax.jit
+    def run_chunk(trainable, frozen, opt_state, images, sel, pids, valid,
+                  i0, key, text_features):
+        def body(carry, xs):
+            tr, fr, os_ = carry
+            idx, labels, v, i = xs
+            imgs = pp.train_batch(
+                jnp.take(images, idx, axis=0),
+                jax.random.fold_in(key, i),
+                pad_hw=pad_hw,
+            )
+
+            def do(c):
+                tr_, fr_, os__ = c
+                tr_, fr_, os__, loss = step(
+                    tr_, fr_, os__, imgs, labels, text_features, v
+                )
+                return (tr_, fr_, os__), loss
+
+            def skip(c):
+                return c, jnp.float32(0.0)
+
+            carry, loss = jax.lax.cond(v.any(), do, skip, (tr, fr, os_))
+            return carry, loss
+
+        steps_i = i0 + jnp.arange(sel.shape[0])
+        (trainable, frozen, opt_state), losses = jax.lax.scan(
+            body, (trainable, frozen, opt_state),
+            (sel, pids, valid, steps_i),
+        )
+        return trainable, frozen, opt_state, losses
+
+    gw = O.gauss_weights(*tcfg.gpa_stage2, epochs)
+    gpa = init_gpa
+    for epoch in range(start_epoch, epochs):
+        lr = S.warmup_multistep_lr(epoch, tcfg.lr_stage2)
+        opt_state = O.set_lr(opt_state, lr)
+        batches = list(order_of_epoch(epoch))
+        sel = np.stack([b[0] for b in batches])
+        pids = np.stack([b[1] for b in batches])
+        valid = np.stack([b[3] for b in batches])
+        n_steps = len(batches)
+        pad = (-n_steps) % chunk
+        if pad:
+            sel = np.concatenate([sel, np.zeros((pad,) + sel.shape[1:],
+                                                sel.dtype)])
+            pids = np.concatenate([pids, np.zeros((pad,) + pids.shape[1:],
+                                                  pids.dtype)])
+            valid = np.concatenate(
+                [valid, np.zeros((pad,) + valid.shape[1:], bool)]
+            )
+        k = jax.random.fold_in(epoch_key, 10_000 + epoch)
+        losses_all = []
+        for ci, lo in enumerate(range(0, n_steps + pad, chunk)):
+            gstep = epoch * (n_steps + pad) + lo
+            if guard is not None:
+                guard.maybe_snapshot(gstep, trainable, frozen, opt_state)
+
+            def dispatch():
+                return run_chunk(
+                    trainable, frozen, opt_state, cache.images,
+                    jnp.asarray(sel[lo:lo + chunk]),
+                    jnp.asarray(pids[lo:lo + chunk]),
+                    jnp.asarray(valid[lo:lo + chunk]),
+                    jnp.int32(lo), k, text_features,
+                )
+
+            tr2, fr2, os2, losses = dispatch()
+            lh = np.asarray(losses)
+            step_live = valid[lo:lo + chunk].any(axis=1)
+            if guard is not None and not np.isfinite(lh[step_live]).all():
+                (trainable, frozen, opt_state), _ = guard.check(
+                    float(lh[step_live][~np.isfinite(lh[step_live])][0]),
+                    trainable, frozen, opt_state,
+                )
+                tr2, fr2, os2, losses = dispatch()
+                lh = np.asarray(losses)
+            trainable, frozen, opt_state = tr2, fr2, os2
+            losses_all.extend(lh[step_live][np.isfinite(lh[step_live])])
+        if cfg.mode == "promptsrc":
+            gpa = O.gpa_update(gpa, O.combine(trainable, frozen), gw[epoch])
+        if losses_all:
+            log(
+                f"[stage2] epoch {epoch + 1}/{epochs} "
+                f"loss {np.mean(losses_all):.4f} lr {lr:.2e}"
+            )
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, O.combine(trainable, frozen),
+                          {"opt_state": opt_state, "gpa": gpa})
+    out = O.combine(trainable, frozen)
+    if cfg.mode == "promptsrc" and gpa is not None:
+        out = gpa
+    return out
