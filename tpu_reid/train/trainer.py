@@ -424,6 +424,46 @@ def run_stage1(
         n = labels.shape[0]
         rng = np.random.default_rng(seed)
 
+    # chunked dispatch for the cached single-device path: `chunk` steps
+    # per jitted lax.scan (feature gather + step in one program). The
+    # cached stage-1 step computes only the text side (~ms), so per-step
+    # host dispatch (~30 ms through a remote link) dominates the epoch
+    # wall; chunking pays it once per 32 steps. Identical batches/order
+    # to the per-step path (same rng permutation, same padded tail).
+    chunk = 32
+    run_chunked = cached and mesh is None
+
+    if run_chunked:
+        feats = jnp.asarray(feats)
+        labels_dev = jnp.asarray(labels)
+
+        @jax.jit
+        def run_chunk1(trainable, opt_state, frozen, feats, labels_dev,
+                       sel, valid):
+            def body(carry, xs):
+                tr, os_ = carry
+                idx, v = xs
+                batch = {
+                    "image_features": jnp.take(feats, idx, axis=0),
+                    "labels": jnp.take(labels_dev, idx, axis=0),
+                    "valid": v,
+                }
+
+                def do(c):
+                    tr_, os__ = c
+                    tr_, os__, loss = step(tr_, frozen, os__, batch)
+                    return (tr_, os__), loss
+
+                def skip(c):
+                    return c, jnp.float32(0.0)
+
+                return jax.lax.cond(v.any(), do, skip, (tr, os_))
+
+            (trainable, opt_state), losses = jax.lax.scan(
+                body, (trainable, opt_state), (sel, valid)
+            )
+            return trainable, opt_state, losses
+
     def _get_state():
         return trainable, opt_state
 
@@ -449,6 +489,71 @@ def run_stage1(
             else:
                 order = rng.permutation(n)
                 sels = (order[i : i + bs] for i in range(0, n, bs))
+
+            if run_chunked:
+                # materialize + pad the epoch's index rows, run `chunk`
+                # steps per dispatch; guard at chunk granularity (same
+                # replay-the-chunk semantics as run_stage2_cached)
+                sel_rows, valid_rows = [], []
+                for sel in sels:
+                    sel = np.asarray(sel)
+                    v = np.ones((bs,), bool)
+                    if sel.shape[0] < bs:
+                        v[sel.shape[0]:] = False
+                        sel = np.concatenate(
+                            [sel, np.zeros((bs - sel.shape[0],), sel.dtype)]
+                        )
+                    sel_rows.append(sel.astype(np.int32))
+                    valid_rows.append(v)
+                n_steps = len(sel_rows)
+                pad = (-n_steps) % chunk
+                sel_arr = np.stack(
+                    sel_rows + [np.zeros((bs,), np.int32)] * pad
+                )
+                valid_arr = np.stack(
+                    valid_rows + [np.zeros((bs,), bool)] * pad
+                )
+                losses_ep = []
+                for lo in range(0, n_steps + pad, chunk):
+                    if guard is not None:
+                        guard.maybe_snapshot(gstep, trainable, opt_state)
+
+                    def dispatch_chunk():
+                        return run_chunk1(
+                            trainable, opt_state, frozen, feats,
+                            labels_dev,
+                            jnp.asarray(sel_arr[lo:lo + chunk]),
+                            jnp.asarray(valid_arr[lo:lo + chunk]),
+                        )
+
+                    tr2, os2, lvec = dispatch_chunk()
+                    lh = np.asarray(lvec)
+                    live = valid_arr[lo:lo + chunk].any(axis=1)
+                    if guard is not None and not np.isfinite(
+                        lh[live]
+                    ).all():
+                        (trainable, opt_state), _ = guard.check(
+                            float(lh[live][~np.isfinite(lh[live])][0]),
+                            trainable, opt_state,
+                        )
+                        tr2, os2, lvec = dispatch_chunk()
+                        lh = np.asarray(lvec)
+                    trainable, opt_state = tr2, os2
+                    gstep += int(live.sum())
+                    losses_ep.extend(lh[live][np.isfinite(lh[live])])
+                if cfg.mode == "promptsrc":
+                    gpa = O.gpa_update(
+                        gpa, O.combine(trainable, frozen), gw[epoch - 1]
+                    )
+                if losses_ep:
+                    log(
+                        f"[stage1] epoch {epoch}/{epochs} "
+                        f"loss {np.mean(losses_ep):.4f} lr {lr:.2e}"
+                    )
+                if checkpoint_cb is not None:
+                    checkpoint_cb(epoch, O.combine(trainable, frozen),
+                                  {"opt_state": opt_state, "gpa": gpa})
+                continue
 
             def cached_batch(sel):
                 sel = np.asarray(sel)
