@@ -735,3 +735,47 @@ def test_stage2_cached_chunked_equals_host_loop():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=2e-5, rtol=2e-4)
+
+
+def test_stage1_live_cached_chunked_equals_host_loop():
+    """run_stage1_live_cached (chunked scan serving live ivlp stage 1 from
+    the image cache) == run_stage1 fed the same gathered batches (r5)."""
+    from tpu_reid.data.device_cache import DeviceImageCache
+    from tpu_reid.data.transforms import DevicePreprocess
+
+    mcfg, params = tiny_model("ivlp", n_cls=6)
+    N, B = 30, 8
+    imgs = RNG.randint(0, 255, (N, 32, 16, 3), np.uint8)
+    pids = np.asarray([i % 6 for i in range(N)], np.int32)
+
+    class FakeCache:
+        images = jnp.asarray(imgs)
+        n = N
+        epoch_index_batches = DeviceImageCache.epoch_index_batches
+
+    cache = FakeCache()
+    cache.pids, cache.camids = pids, np.zeros((N,), np.int32)
+    pp = DevicePreprocess((32, 16), "vit", dtype=jnp.float32)
+    tcfg = TR.TrainConfig(epochs_stage1=2)
+
+    def order(epoch):
+        rng = np.random.default_rng(7 + epoch)
+        return cache.epoch_index_batches(rng.permutation(N), B,
+                                         drop_tail=True)
+
+    def host_batches(epoch):
+        for sel, p_, _c, v in order(epoch):
+            yield (pp.eval_batch(jnp.take(cache.images,
+                                          jnp.asarray(sel), axis=0)),
+                   jnp.asarray(p_), v)
+
+    logs_a, logs_b = [], []
+    out_a = TR.run_stage1(params, mcfg, tcfg, host_batches, epochs=2,
+                          log=logs_a.append)
+    out_b = TR.run_stage1_live_cached(params, mcfg, tcfg, cache, order, pp,
+                                      epochs=2, chunk=2, log=logs_b.append)
+    assert logs_a == logs_b
+    for a, b in zip(jax.tree.leaves(out_a), jax.tree.leaves(out_b)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-5, rtol=2e-4)

@@ -597,12 +597,36 @@ def main():
 
     if done_stage < 1:
         with log.phase("stage1"):
-            params = TR.run_stage1(
-                params, mcfg, tcfg, stage1_batches, epochs=args.epochs_stage1,
-                batch_size=args.bs, mesh=mesh, guard=make_guard(),
-                log=lambda s: log.log("train", msg=s),
-                checkpoint_cb=cb(0, lambda e: e), **kw1,
-            )
+            live_mode = args.training_mode not in ("coop", "adapter")
+            if cache is not None and mesh is None and live_mode:
+                # live stage 1 (VPT tokens retrain the encoder every
+                # step) served from the HBM-resident cache, `chunk`
+                # steps per dispatch (trainer.run_stage1_live_cached) —
+                # same val-transform batches/order as stage1_batches
+                def stage1_order(epoch):
+                    # run_stage1's live epochs are 1-based, so this
+                    # mirrors stage1_batches(epoch>=1): shuffled order,
+                    # tail dropped (the epoch-0 sequential pass exists
+                    # only for the coop/adapter feature precompute)
+                    rng = np.random.default_rng(args.seed + epoch)
+                    return cache.epoch_index_batches(
+                        rng.permutation(cache.n), args.bs, drop_tail=True
+                    )
+
+                params = TR.run_stage1_live_cached(
+                    params, mcfg, tcfg, cache, stage1_order, pp,
+                    epochs=args.epochs_stage1, guard=make_guard(),
+                    log=lambda s: log.log("train", msg=s),
+                    checkpoint_cb=cb(0, lambda e: e), **kw1,
+                )
+            else:
+                params = TR.run_stage1(
+                    params, mcfg, tcfg, stage1_batches,
+                    epochs=args.epochs_stage1,
+                    batch_size=args.bs, mesh=mesh, guard=make_guard(),
+                    log=lambda s: log.log("train", msg=s),
+                    checkpoint_cb=cb(0, lambda e: e), **kw1,
+                )
             mgr.save(args.epochs_stage1,
                      {"params": params, "stage": 1, "epoch_in_stage": -1})
 

@@ -944,3 +944,128 @@ def run_stage2_cached(
     if cfg.mode == "promptsrc" and gpa is not None:
         out = gpa
     return out
+
+
+def run_stage1_live_cached(
+    params: dict,
+    cfg: M.ReidModelConfig,
+    tcfg: TrainConfig,
+    cache,
+    order_of_epoch: Callable[[int], Iterable],
+    pp,
+    epochs: Optional[int] = None,
+    log: Callable[[str], None] = print,
+    checkpoint_cb: Optional[Callable[[int, dict, dict], None]] = None,
+    guard=None,
+    start_epoch: int = 1,
+    init_opt_state=None,
+    init_gpa=None,
+    chunk: int = 32,
+) -> dict:
+    """Live stage 1 (ivlp/promptsrc/maple — VPT tokens change the image
+    encoder, so features recompute every step) served from a
+    DeviceImageCache, `chunk` steps per jitted lax.scan: image gather +
+    deterministic eval transform + live step in one program. Same
+    batches/order as the per-step cached CLI path (reference stage 1
+    consumes the val-transform loader, prompt_learning.py:708-710).
+    Single-device path; guard at chunk granularity (replay-the-chunk,
+    as run_stage2_cached)."""
+    epochs = epochs or tcfg.epochs_stage1
+    params = jax.tree.map(jnp.asarray, params)
+    trainable, frozen = O.partition(
+        params, lambda path: M.stage1_trainable(path, cfg)
+    )
+    optimizer = O.make_stage_optimizer(tcfg.lr_stage1, tcfg.weight_decay)
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(trainable))
+    step = make_stage1_step(cfg, optimizer, cached=False)
+
+    @jax.jit
+    def run_chunk(trainable, opt_state, frozen, images, sel, pids, valid):
+        def body(carry, xs):
+            tr, os_ = carry
+            idx, labels, v = xs
+            batch = {
+                "images": pp.eval_batch(jnp.take(images, idx, axis=0)),
+                "labels": labels,
+                "valid": v,
+            }
+
+            def do(c):
+                tr_, os__ = c
+                tr_, os__, loss = step(tr_, frozen, os__, batch)
+                return (tr_, os__), loss
+
+            def skip(c):
+                return c, jnp.float32(0.0)
+
+            return jax.lax.cond(v.any(), do, skip, (tr, os_))
+
+        (trainable, opt_state), losses = jax.lax.scan(
+            body, (trainable, opt_state), (sel, pids, valid)
+        )
+        return trainable, opt_state, losses
+
+    gw = O.gauss_weights(*tcfg.gpa_stage1, epochs)
+    gpa = init_gpa
+    gstep = 0
+    for epoch in range(start_epoch, epochs + 1):
+        lr = S.cosine_warmup_lr(epoch, tcfg.lr_stage1, epochs)
+        opt_state = O.set_lr(opt_state, lr)
+        batches = list(order_of_epoch(epoch))
+        sel = np.stack([b[0] for b in batches]).astype(np.int32)
+        pids = np.stack([b[1] for b in batches]).astype(np.int32)
+        valid = np.stack([b[3] for b in batches])
+        n_steps = len(batches)
+        pad = (-n_steps) % chunk
+        if pad:
+            sel = np.concatenate(
+                [sel, np.zeros((pad,) + sel.shape[1:], sel.dtype)]
+            )
+            pids = np.concatenate(
+                [pids, np.zeros((pad,) + pids.shape[1:], pids.dtype)]
+            )
+            valid = np.concatenate(
+                [valid, np.zeros((pad,) + valid.shape[1:], bool)]
+            )
+        losses_ep = []
+        for lo in range(0, n_steps + pad, chunk):
+            if guard is not None:
+                guard.maybe_snapshot(gstep, trainable, opt_state)
+
+            def dispatch():
+                return run_chunk(
+                    trainable, opt_state, frozen, cache.images,
+                    jnp.asarray(sel[lo:lo + chunk]),
+                    jnp.asarray(pids[lo:lo + chunk]),
+                    jnp.asarray(valid[lo:lo + chunk]),
+                )
+
+            tr2, os2, lvec = dispatch()
+            lh = np.asarray(lvec)
+            live = valid[lo:lo + chunk].any(axis=1)
+            if guard is not None and not np.isfinite(lh[live]).all():
+                (trainable, opt_state), _ = guard.check(
+                    float(lh[live][~np.isfinite(lh[live])][0]),
+                    trainable, opt_state,
+                )
+                tr2, os2, lvec = dispatch()
+                lh = np.asarray(lvec)
+            trainable, opt_state = tr2, os2
+            gstep += int(live.sum())
+            losses_ep.extend(lh[live][np.isfinite(lh[live])])
+        if cfg.mode == "promptsrc":
+            gpa = O.gpa_update(gpa, O.combine(trainable, frozen),
+                               gw[epoch - 1])
+        if losses_ep:
+            log(
+                f"[stage1] epoch {epoch}/{epochs} "
+                f"loss {np.mean(losses_ep):.4f} lr {lr:.2e}"
+            )
+        if checkpoint_cb is not None:
+            checkpoint_cb(epoch, O.combine(trainable, frozen),
+                          {"opt_state": opt_state, "gpa": gpa})
+    out = O.combine(trainable, frozen)
+    if cfg.mode == "promptsrc" and gpa is not None:
+        out = gpa
+    return out
