@@ -154,3 +154,49 @@ def test_warmup_multistep_schedule():
     # post-milestone decays
     assert S.warmup_multistep_lr(35, base) == pytest.approx(0.1 * base)
     assert S.warmup_multistep_lr(55, base) == pytest.approx(0.01 * base)
+
+
+def test_flat_adam_matches_per_leaf_chain():
+    """optim.flat_torch_adam (one fused vector program, the default) must
+    produce EXACTLY the per-leaf torch_adam chain's trajectory — decay,
+    bias-leaf x2 lr, bias-corrected moments — over several steps (r5; the
+    flat form removes ~19 ms/step of per-kernel overhead at ViT-B bs=64)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_reid.train import optim as O
+
+    rng = np.random.RandomState(3)
+    params = {
+        "blk": {
+            "w": jnp.asarray(rng.randn(8, 16).astype(np.float32)),
+            "b": jnp.asarray(rng.randn(16).astype(np.float32)),
+        },
+        "ln": {
+            "scale": jnp.asarray(rng.randn(16).astype(np.float32)),
+            "bias": jnp.asarray(rng.randn(16).astype(np.float32)),
+        },
+        "frozen": None,  # partitioned-out leaf must flatten consistently
+    }
+    opt_a = O.make_stage_optimizer(1e-3, 1e-4, bias_lr_mult=2.0, flat=False)
+    opt_b = O.make_stage_optimizer(1e-3, 1e-4, bias_lr_mult=2.0, flat=True)
+    sa, sb = opt_a.init(params), opt_b.init(params)
+    pa = pb = params
+    for step in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.randn(*np.shape(p)).astype(np.float32)
+            ),
+            pa,
+        )
+        ua, sa = opt_a.update(grads, sa, pa)
+        ub, sb = opt_b.update(grads, sb, pb)
+        pa = optax.apply_updates(pa, ua)
+        pb = optax.apply_updates(pb, ub)
+        # lr schedule injection works on both
+        sa.hyperparams["learning_rate"] = jnp.asarray(5e-4 / (step + 1))
+        sb.hyperparams["learning_rate"] = jnp.asarray(5e-4 / (step + 1))
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-6)

@@ -18,7 +18,7 @@ gauss-weighted sum of the full params pytree and swaps it in at the end
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,14 +114,103 @@ def torch_adam(
     return optax.chain(*chain)
 
 
+class FlatAdamState(NamedTuple):
+    count: jax.Array
+    m: jax.Array
+    v: jax.Array
+    mult: jax.Array  # per-element lr multiplier (bias_lr_mult on bias leaves)
+
+
+def flat_torch_adam(
+    learning_rate, weight_decay: float = 0.0, bias_lr_mult: float = 1.0,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+):
+    """torch_adam with the moment math on ONE flattened vector.
+
+    Identical update rule to `torch_adam` (coupled-L2 decay before the
+    moments, bias-corrected Adam, bias-leaf lr multiplier), exact-match
+    tested. Built to attack the ~19 ms/step optimizer overhead the r5
+    probe D measured (grad 69.5 -> grad+adam 88.2 ms chained at ViT-B
+    bs=64) — but MEASURED SLOWER in the full step (89.7 -> 98.9 ms):
+    the concat barrier serializes the update behind the whole backward,
+    losing the per-leaf overlap XLA otherwise schedules. Not the
+    default; see make_stage_optimizer."""
+
+    def _flat(tree):
+        return jnp.concatenate(
+            [jnp.ravel(leaf) for leaf in jax.tree.leaves(tree)]
+        )
+
+    def init(params):
+        leaves_p = jax.tree_util.tree_flatten_with_path(params)[0]
+        mult = jnp.concatenate([
+            jnp.full(
+                (np.prod(np.shape(leaf)) or 1,),
+                bias_lr_mult if any(
+                    getattr(p, "key", None) in ("b", "bias") for p in path
+                ) else 1.0,
+                jnp.float32,
+            )
+            for path, leaf in leaves_p
+        ])
+        n = mult.shape[0]
+        return FlatAdamState(
+            count=jnp.zeros((), jnp.int32),
+            m=jnp.zeros((n,), jnp.float32),
+            v=jnp.zeros((n,), jnp.float32),
+            mult=mult,
+        )
+
+    def update(updates, state, params=None):
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        shapes = [np.shape(leaf) for leaf in leaves]
+        sizes = [int(np.prod(s) or 1) for s in shapes]
+        g = _flat(updates).astype(jnp.float32)
+        if weight_decay:
+            assert params is not None
+            g = g + weight_decay * _flat(params).astype(jnp.float32)
+        count = state.count + 1
+        m = b1 * state.m + (1.0 - b1) * g
+        v = b2 * state.v + (1.0 - b2) * (g * g)
+        c = count.astype(jnp.float32)
+        mhat = m / (1.0 - b1 ** c)
+        vhat = v / (1.0 - b2 ** c)
+        flat_u = (-learning_rate) * state.mult * (
+            mhat / (jnp.sqrt(vhat) + eps)
+        )
+        parts = jnp.split(flat_u, np.cumsum(sizes)[:-1]) if sizes else []
+        out = [
+            p.reshape(s).astype(leaf.dtype)
+            for p, s, leaf in zip(parts, shapes, leaves)
+        ]
+        return (
+            jax.tree_util.tree_unflatten(treedef, out),
+            FlatAdamState(count=count, m=m, v=v, mult=state.mult),
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_stage_optimizer(
-    base_lr: float, weight_decay: float = 1e-4, bias_lr_mult: float = 1.0
+    base_lr: float, weight_decay: float = 1e-4, bias_lr_mult: float = 1.0,
+    flat: bool = False,
 ):
     """inject_hyperparams wrapper so trainers set opt_state.hyperparams
     ['learning_rate'] from the epoch schedule (reference steps its torch
-    schedulers per epoch)."""
+    schedulers per epoch).
+
+    flat=False (default): the per-leaf optax chain. flat=True swaps in
+    `flat_torch_adam` (same math, exact-match tested) — built on the
+    r5 probe-D observation that grad->grad+adam costs ~19 ms/step at
+    ViT-B bs=64, but MEASURED SLOWER end-to-end (chained step 89.7 ->
+    98.9 ms): concatenating 86M params serializes the optimizer behind
+    the complete backward, losing XLA's overlap of per-leaf updates with
+    the backward's tail, which outweighs the per-kernel overhead it
+    removes. Kept as the recorded dead end (ROADMAP) and equality
+    oracle."""
+    fn = flat_torch_adam if flat else torch_adam
     return optax.inject_hyperparams(
-        torch_adam,
+        fn,
         static_args=("weight_decay", "bias_lr_mult", "b1", "b2", "eps"),
     )(
         learning_rate=base_lr,
