@@ -665,3 +665,27 @@ def test_prompt_learning_cli_cache_device_sharded(assets, monkeypatch,
     )
     cmc, mAP = cli.main()
     assert 0.0 <= mAP <= 1.0
+
+
+def test_prompt_learning_resume_with_cache_device(assets, monkeypatch,
+                                                  tmp_path):
+    """--cache_device (chunked-scan epochs, live ivlp stage 1) composes
+    with --resume: the resumed run restores the completed checkpoints and
+    reproduces the result (r5)."""
+    from tpu_reid.cli import prompt_learning as cli
+
+    argv = [
+        "prompt_learning",
+        "--root", assets["root"],
+        "--model_path", assets["ckpt"],
+        "--bpe_path", assets["merges"],
+        "--height", "32", "--stride", "8", "--bs", "8",
+        "--epochs_stage1", "1", "--epochs_stage2", "1",
+        "--training_mode", "ivlp", "--cache_device",
+        "--save_path", str(tmp_path / "ck"),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    cmc1, mAP1 = cli.main()
+    monkeypatch.setattr(sys, "argv", argv + ["--resume"])
+    cmc2, mAP2 = cli.main()
+    assert abs(mAP1 - mAP2) < 1e-5
